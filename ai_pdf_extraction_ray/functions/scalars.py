@@ -1,0 +1,207 @@
+"""Scalar parsing / normalization kernels.
+
+Pure-python reimplementations of the reference's scalar semantics
+(reference: app/backend/services/ai/validation.py:34-154, 511-556), written
+fresh without the `price-parser` / `dateutil` dependencies. These run inside
+``map_batches`` stages; the branchy string parsing is done per value over
+``to_pylist()`` columns (cheap relative to extraction), while the numeric
+paths stay vectorizable.
+
+Observed reference behaviors preserved:
+
+- ``parse_currency`` (validation.py:34-82): int/float passthrough; strip all
+  but ``[0-9.,-]``; when both separators present the LAST one is the decimal
+  point (EU ``1.234,56`` vs US ``1,234.56``); a lone comma is a decimal point
+  only when followed by exactly 2 digits; unparseable -> None.
+- ``parse_date`` (validation.py:85-135): ISO ``YYYY-MM-DD`` passthrough;
+  ``A/B/YYYY`` tries US (month first) THEN European — ambiguous dates resolve
+  US; written formats ("January 15, 2024") via a month-name table; invalid
+  calendar dates -> None.
+- ``normalize_number`` (validation.py:511-525): strip commas, int unless a
+  ``.`` is present.
+- ``normalize_boolean`` (validation.py:527-539): truthy {true,yes,y,1,on} /
+  falsy {false,no,n,0,off}, case-insensitive; anything else is ambiguous.
+- ``clean_null_from_arrays`` (validation.py:138-154): recursively drop None
+  items from every list in a nested structure.
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime
+from typing import Any
+
+_NON_CURRENCY = re.compile(r"[^\d.,\-]")
+_ISO_DATE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_SLASH_DATE = re.compile(r"^(\d{1,2})/(\d{1,2})/(\d{4})$")
+_DASH_DMY = re.compile(r"^(\d{1,2})-(\d{1,2})-(\d{4})$")
+_YMD_SLASH = re.compile(r"^(\d{4})/(\d{1,2})/(\d{1,2})$")
+
+_MONTHS = {
+    m.lower(): i + 1
+    for i, m in enumerate([
+        "January", "February", "March", "April", "May", "June",
+        "July", "August", "September", "October", "November", "December",
+    ])
+}
+for _m, _i in list(_MONTHS.items()):
+    _MONTHS[_m[:3]] = _i  # jan, feb, ...
+
+# "January 15, 2024" / "15 January 2024" / "Jan 15 2024"
+_WRITTEN_MDY = re.compile(r"^([A-Za-z]+)\.?\s+(\d{1,2})(?:st|nd|rd|th)?,?\s+(\d{4})$")
+_WRITTEN_DMY = re.compile(r"^(\d{1,2})(?:st|nd|rd|th)?\.?\s+([A-Za-z]+)\.?,?\s+(\d{4})$")
+
+TRUTHY = frozenset({"true", "yes", "y", "1", "on"})
+FALSY = frozenset({"false", "no", "n", "0", "off"})
+
+
+def parse_currency(value: Any) -> float | None:
+    """Parse a currency-ish value to float; None when unparseable."""
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return None
+    if isinstance(value, (int, float)):
+        return float(value)
+    if not isinstance(value, str):
+        return None
+    s = value.strip()
+    if not s:
+        return None
+
+    cleaned = _NON_CURRENCY.sub("", s)
+    if not cleaned or cleaned in {"-", ".", ",", "-.", "-,"}:
+        return None
+    neg = cleaned.count("-")
+    if neg:
+        # keep a single leading minus; embedded dashes (ranges) are unparseable
+        if not s.lstrip().startswith("-") and not s.lstrip().startswith("("):
+            cleaned = cleaned.replace("-", "")
+        else:
+            cleaned = "-" + cleaned.replace("-", "")
+    has_c, has_d = "," in cleaned, "." in cleaned
+    if has_c and has_d:
+        if cleaned.rfind(",") > cleaned.rfind("."):
+            cleaned = cleaned.replace(".", "").replace(",", ".")  # EU 1.234,56
+        else:
+            cleaned = cleaned.replace(",", "")  # US 1,234.56
+    elif has_c:
+        parts = cleaned.split(",")
+        if len(parts) == 2 and len(parts[1]) == 2:
+            cleaned = cleaned.replace(",", ".")  # 1234,56 -> decimal comma
+        else:
+            cleaned = cleaned.replace(",", "")  # 1,234 / 1,234,567 -> grouping
+    try:
+        return float(cleaned)
+    except ValueError:
+        return None
+
+
+def _ymd(year: int, month: int, day: int) -> str | None:
+    try:
+        return datetime(year, month, day).strftime("%Y-%m-%d")
+    except ValueError:
+        return None
+
+
+def parse_date(value: Any) -> str | None:
+    """Parse assorted date formats to ``YYYY-MM-DD``; None on failure."""
+    if value is None:
+        return None
+    if not isinstance(value, str):
+        value = str(value)
+    s = value.strip()
+    if not s:
+        return None
+
+    if _ISO_DATE.match(s):
+        return s
+
+    m = _SLASH_DATE.match(s)
+    if m:
+        a, b, year = (int(g) for g in m.groups())
+        # US order first (validation.py:107-121), then European fallback.
+        return _ymd(year, a, b) or _ymd(year, b, a)
+
+    m = _YMD_SLASH.match(s)
+    if m:
+        y, mo, d = (int(g) for g in m.groups())
+        return _ymd(y, mo, d)
+
+    m = _DASH_DMY.match(s)
+    if m:
+        a, b, year = (int(g) for g in m.groups())
+        return _ymd(year, a, b) or _ymd(year, b, a)
+
+    m = _WRITTEN_MDY.match(s)
+    if m:
+        mon = _MONTHS.get(m.group(1).lower())
+        if mon:
+            return _ymd(int(m.group(3)), mon, int(m.group(2)))
+    m = _WRITTEN_DMY.match(s)
+    if m:
+        mon = _MONTHS.get(m.group(2).lower())
+        if mon:
+            return _ymd(int(m.group(3)), mon, int(m.group(1)))
+
+    # ISO datetime prefix ("2024-01-15T10:30:00" / "2024-01-15 10:30")
+    m = re.match(r"^(\d{4})-(\d{1,2})-(\d{1,2})[T ]", s)
+    if m:
+        return _ymd(int(m.group(1)), int(m.group(2)), int(m.group(3)))
+    return None
+
+
+def normalize_number(value: Any) -> int | float | None:
+    """Comma-stripped number; int unless a ``.`` is present; None on failure."""
+    if value is None or isinstance(value, bool):
+        return None
+    if isinstance(value, (int, float)):
+        return value
+    if not isinstance(value, str):
+        return None
+    cleaned = value.replace(",", "").strip()
+    if not cleaned:
+        return None
+    try:
+        return float(cleaned) if "." in cleaned else int(cleaned)
+    except ValueError:
+        return None
+
+
+def normalize_boolean(value: Any) -> bool | None:
+    """Truthy/falsy word sets; None when ambiguous."""
+    if isinstance(value, bool):
+        return value
+    if isinstance(value, str):
+        low = value.lower().strip()
+        if low in TRUTHY:
+            return True
+        if low in FALSY:
+            return False
+    return None
+
+
+def normalize_percentage(value: Any) -> float | None:
+    """Strip ``%`` and parse as float; None on failure."""
+    if value is None or isinstance(value, bool):
+        return None
+    if isinstance(value, (int, float)):
+        return float(value)
+    if not isinstance(value, str):
+        return None
+    cleaned = value.replace("%", "").strip()
+    if not cleaned:
+        return None
+    try:
+        return float(cleaned)
+    except ValueError:
+        return None
+
+
+def clean_null_from_arrays(data: Any) -> Any:
+    """Recursively remove None items from all lists in a nested structure."""
+    if isinstance(data, dict):
+        return {k: clean_null_from_arrays(v) for k, v in data.items()}
+    if isinstance(data, list):
+        return [clean_null_from_arrays(x) for x in data if x is not None]
+    return data
