@@ -1,0 +1,202 @@
+"""Extractor-kernel tests: HTML density heuristics, PDF layout parse,
+corpus round-trip byte identity, failure-row semantics."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+
+from ai_pdf_extraction_ray.schema import FieldDefinition, FieldType, SchemaDefinition
+from ai_pdf_extraction_ray.sources.corpus import (
+    build_html,
+    build_pdf,
+    invoice_fields_for,
+    is_pdf_row,
+    synthesize_pages_table,
+    url_for,
+)
+from ai_pdf_extraction_ray.stages.html_extract import (
+    compile_field_patterns,
+    extract_fields,
+    extract_html,
+    parse_blocks,
+)
+from ai_pdf_extraction_ray.stages.pdf_extract import extract_pdf, page_count
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+class TestHtmlExtractor:
+    def test_article_content_selected(self):
+        html = (
+            "<html><body><nav><a href='/'>Home</a> <a href='/x'>X</a></nav>"
+            "<article><p>Short main content here.</p></article>"
+            "<footer><a href='/t'>Terms</a></footer></body></html>"
+        )
+        rec = extract_html(html)
+        assert rec["text"] == "Short main content here."
+        assert rec["error"] is None
+        assert rec["confidence"] > 0
+
+    def test_density_without_semantic_tags(self):
+        long_para = " ".join(f"word{i}" for i in range(40))
+        html = (
+            "<html><body><div><a href='/a'>lots</a> <a href='/b'>of</a> "
+            "<a href='/c'>links</a></div>"
+            f"<div><p>{long_para}</p></div>"
+            "<div><a href='/d'>more</a> <a href='/e'>links</a></div></body></html>"
+        )
+        assert extract_html(html)["text"] == long_para
+
+    def test_link_dense_comment_trap_dropped(self):
+        # high word count but high link density -> boilerplate
+        links = " ".join(f"<a href='/u/{i}'>commenter name number {i}</a>" for i in range(10))
+        body = " ".join(f"w{i}" for i in range(30))
+        html = f"<html><body><article><p>{body}</p></article><div class='c'>{links}</div></body></html>"
+        assert extract_html(html)["text"] == body
+
+    def test_multi_paragraph_join(self):
+        html = "<html><body><article><p>Para one.</p><p>Para two.</p></article></body></html>"
+        rec = extract_html(html)
+        assert rec["text"] == "Para one.\n\nPara two."
+        assert rec["spans"] == [
+            {"field": "block_0", "start": 0, "end": 9},
+            {"field": "block_1", "start": 11, "end": 20},
+        ]
+
+    def test_entities_unescaped(self):
+        html = "<html><body><article><p>A &amp; B &lt;ok&gt;</p></article></body></html>"
+        assert extract_html(html)["text"] == "A & B <ok>"
+
+    def test_script_style_ignored(self):
+        html = (
+            "<html><head><style>p{color:red}</style><script>var x=1;</script></head>"
+            "<body><article><p>Real text.</p></article></body></html>"
+        )
+        assert extract_html(html)["text"] == "Real text."
+
+    def test_empty_payload_is_error_row(self):
+        rec = extract_html(b"")
+        assert rec["error"] == "empty payload"
+        assert rec["confidence"] == 0.0
+        assert rec["text"] is None
+
+    def test_no_content_warns(self):
+        rec = extract_html("<html><body><nav><a href='/'>x</a></nav></body></html>")
+        assert rec["text"] == ""
+        assert rec["confidence"] == 0.0
+        assert "no content blocks detected" in rec["warnings"]
+
+    def test_garbage_bytes_do_not_crash(self):
+        rec = extract_html(b"\x00\xff\xfe not html at all \x9c")
+        assert rec["error"] is None or isinstance(rec["error"], str)
+
+    def test_block_parse_counts(self):
+        blocks = parse_blocks(
+            "<body><nav>n1</nav><article><p>content words</p></article></body>"
+        )
+        assert [b.in_boiler for b in blocks] == [True, False]
+        assert [b.in_content for b in blocks] == [False, True]
+
+
+def _raw_pdf(content: bytes) -> bytes:
+    return (
+        b"%PDF-1.4\n1 0 obj\n<< /Length "
+        + str(len(content)).encode()
+        + b" >>\nstream\n"
+        + content
+        + b"\nendstream\nendobj\n"
+    )
+
+
+class TestPdfExtractor:
+    def test_roundtrip_simple(self):
+        text = " ".join(f"alpha{i}" for i in range(40))
+        rec = extract_pdf(build_pdf(1, text))
+        assert rec["text"] == text
+        assert rec["error"] is None
+
+    def test_scrambled_stream_order_reading_order_restored(self):
+        # build_pdf emits lines in scrambled order; identity proves y-sort works
+        text = " ".join(f"tok{i}" for i in range(120))
+        assert extract_pdf(build_pdf(7, text))["text"] == text
+
+    def test_magic_byte_rejection(self):
+        rec = extract_pdf(b"not a pdf")
+        assert rec["error"] == "not a PDF (missing %PDF magic)"
+
+    def test_empty_rejection(self):
+        assert extract_pdf(b"")["error"] == "empty payload"
+
+    def test_truncated_pdf_is_error_or_empty(self):
+        rec = extract_pdf(build_pdf(1, "hello world")[:60])
+        assert rec["text"] in (None, "")  # never raises
+
+    def test_uncompressed_stream_and_td_advance(self):
+        content = b"BT /F1 12 Tf 72 720 Td (first line) Tj 0 -14 Td (second line) Tj ET"
+        assert extract_pdf(_raw_pdf(content))["text"] == "first line second line"
+
+    def test_block_gap_splits_paragraphs(self):
+        content = (
+            b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (para one) Tj "
+            b"1 0 0 1 72 600 Tm (para two) Tj ET"
+        )
+        assert extract_pdf(_raw_pdf(content))["text"] == "para one\n\npara two"
+
+    def test_tj_array_and_escapes(self):
+        content = rb"BT /F1 12 Tf 72 720 Td [(a\(b\)) -250 (c)] TJ ET"
+        assert extract_pdf(_raw_pdf(content))["text"] == "a(b) c"
+
+    def test_page_count(self):
+        assert page_count(build_pdf(1, "hi")) == 1
+
+
+class TestCorpusRoundTrip:
+    """The golden gate: byte-identical extracted text per url (north rule)."""
+
+    @pytest.fixture(scope="class")
+    def pages(self):
+        return synthesize_pages_table(pq.read_table(f"{SF_SMOKE}/documents.parquet"))
+
+    def test_byte_identity_all_rows(self, pages):
+        for i in range(pages.num_rows):
+            d = pages.column("doc_id")[i].as_py()
+            payload = pages.column("html")[i].as_py()
+            truth = pages.column("text")[i].as_py()
+            rec = extract_pdf(payload) if is_pdf_row(d) else extract_html(payload)
+            assert rec["text"] == truth, f"doc_id={d} kind={'pdf' if is_pdf_row(d) else 'html'}"
+
+    def test_urls_deterministic(self, pages):
+        assert pages.column("url")[0].as_py() == url_for(0) == "https://h0.example.com/p/0"
+        # skew: doc 3 lands on the giant host
+        assert url_for(3) == "https://h0.example.com/p/3"
+        assert url_for(4) == "https://h4.example.com/p/4"
+
+    def test_determinism_rebuild_identical(self):
+        docs = pq.read_table(f"{SF_SMOKE}/documents.parquet").slice(0, 50)
+        a = synthesize_pages_table(docs)
+        b = synthesize_pages_table(docs)
+        assert a.equals(b)
+
+    def test_field_extraction_on_html_lane(self, pages):
+        schema = SchemaDefinition(
+            name="invoice",
+            fields=[
+                FieldDefinition("invoice_number", FieldType.STRING, required=True),
+                FieldDefinition("invoice_date", FieldType.DATE),
+                FieldDefinition("subtotal", FieldType.CURRENCY),
+                FieldDefinition("tax_amount", FieldType.CURRENCY),
+                FieldDefinition("total_amount", FieldType.CURRENCY),
+                FieldDefinition("is_paid", FieldType.BOOLEAN),
+            ],
+            validation_rules=["total_amount == subtotal + tax_amount"],
+        )
+        pats = compile_field_patterns(schema)
+        for i in (1, 2, 4, 5):
+            d = pages.column("doc_id")[i].as_py()
+            rec = extract_html(pages.column("html")[i].as_py())
+            fields, confs = extract_fields(rec["flat_text"], pats)
+            expected = invoice_fields_for(d, len(pages.column("text")[i].as_py()))
+            assert fields["invoice_number"] == expected["Invoice Number"]
+            assert fields["total_amount"] == expected["Total Amount"]
+            assert confs["invoice_number"] == 0.95
