@@ -1,44 +1,55 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module:
+nothing here (or in the library) calls ``ray.init()``/``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``      — flagship pipeline at sf0.001 (smoke check)
+- ``queries()``    — one callable per implemented operator (SURVEY.md §2)
+- ``oracle_sql()`` — DuckDB-equivalent SQL per query where SQL-expressible
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: pages -> actor-pool extraction -> validated records."""
+    from ai_pdf_extraction_ray.pipelines.extract_pipeline import (
+        pages_dataset,
+        run_extraction,
+    )
+    from ai_pdf_extraction_ray.pipelines.queries import INVOICE_SCHEMA
+
+    ext = run_extraction(pages_dataset(SF_SMOKE), INVOICE_SCHEMA)
+    # spans is list<struct> — drop nested columns for a stable, hashable
+    # smoke schema; the full schema is exercised by tests and queries().
+    return ext.select_columns([
+        "url", "host", "payload_sha256", "kind", "text", "confidence",
+        "n_blocks", "error", "field_invoice_number", "field_total_amount",
+    ])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ai_pdf_extraction_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec["fn"] for name, spec in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ai_pdf_extraction_ray.pipelines.queries import QUERIES
+
+    return {
+        name: spec["sql"]
+        for name, spec in QUERIES.items()
+        if spec.get("sql") is not None
+    }

@@ -1,0 +1,183 @@
+"""Flagship pipeline: pages -> extraction records -> partitioned parquet.
+
+Ray-Data restatement of the reference's batch-extraction lifecycle
+(SURVEY.md §3.1; reference routers/batches.py:64-254):
+
+    read_parquet(documents shards)
+      -> map_batches(synthesize_pages_batch)            # corpus lane (tests)
+      -> map_batches(DocumentExtractor, concurrency=N)  # actor pool
+      -> write_parquet(out/shard=…) + _MANIFEST.json    # failure-is-data
+
+At 100 TB the unit of work is the input **file shard**: each shard is an
+independent streaming Dataset job whose output directory + manifest make the
+whole run idempotently resumable (skip-if-valid). Within a shard the
+streaming executor pipelines read -> synth -> extract -> write with
+backpressure; no stage materializes the dataset.
+
+Skew note (north rule): the corpus deliberately gives one host ~1/3 of rows.
+Extraction itself is embarrassingly parallel — blocks are split by Ray Data
+regardless of host — so no shuffle is needed on the hot path. The url-prefix
+hash shuffle (``repartition_by_host``) exists for stages that *do* co-locate
+by host (e.g. per-host aggregates) and for writing host-partitioned output.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Mean, Sum
+
+from ..schema import SchemaDefinition
+from ..sources.corpus import synthesize_pages_batch
+from ..stages.extract import DocumentExtractor
+from ..state.manifest import lineage_id, manifest_is_valid, write_manifest_atomic
+
+DEFAULT_BATCH_SIZE = 256
+DEFAULT_CONCURRENCY = 4
+
+
+def pages_dataset(sf_dir: str, *, include_doc_id: bool = True) -> Dataset:
+    """documents.parquet -> canonical pages table (url, warc_ts, html, text, lang).
+
+    Column pruning at the read: only the three columns the synthesizer needs
+    leave storage.
+    """
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return ds.map_batches(
+        lambda b: synthesize_pages_batch(b, include_doc_id=include_doc_id),
+        batch_format="pyarrow",
+        batch_size=DEFAULT_BATCH_SIZE,
+    )
+
+
+def run_extraction(
+    pages: Dataset,
+    schema: SchemaDefinition | None = None,
+    *,
+    concurrency: int | tuple[int, int] = DEFAULT_CONCURRENCY,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> Dataset:
+    """Attach the actor-pool extraction stage to a pages Dataset."""
+    return pages.map_batches(
+        DocumentExtractor,
+        fn_constructor_kwargs={"schema_dict": schema.to_dict() if schema else None},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def repartition_by_host(ds: Dataset, num_partitions: int) -> Dataset:
+    """Url-prefix hash shuffle: co-locate rows by host, breaking the giant
+    host across hash space only when callers key by (host, url). This is one
+    of THE two sanctioned shuffles (SURVEY.md §7.2 step 7)."""
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import zlib as _z
+
+        hosts = batch.column("host").to_pylist()
+        buckets = [_z.crc32(h.encode()) % num_partitions for h in hosts]
+        return batch.append_column("host_bucket", pa.array(buckets, pa.int64()))
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow").repartition(
+        num_partitions, shuffle=True
+    )
+
+
+def run_metrics(extractions: Dataset) -> dict[str, Any]:
+    """Run-level counters (reference batch counters A5–A7,
+    routers/batches.py:222-241, 511): small aggregate result — safe to
+    materialize."""
+    def flags(batch: pa.Table) -> pa.Table:
+        ok = pc.is_null(batch.column("error"))
+        return pa.table({
+            "ok": pc.cast(ok, pa.int64()),
+            "failed": pc.cast(pc.invert(ok), pa.int64()),
+            "confidence": batch.column("confidence"),
+        })
+
+    agg = (
+        extractions.map_batches(flags, batch_format="pyarrow")
+        .aggregate(
+            Count(alias_name="total_documents"),
+            Sum("ok", alias_name="successful_documents"),
+            Sum("failed", alias_name="failed_documents"),
+            Mean("confidence", alias_name="average_confidence"),
+        )
+    )
+    agg["average_confidence"] = round(float(agg["average_confidence"]), 3)
+    return agg
+
+
+def extract_job(
+    input_files: list[str],
+    out_dir: str,
+    schema: SchemaDefinition | None = None,
+    *,
+    synthesize: bool = True,
+    resume: bool = True,
+    concurrency: int | tuple[int, int] = DEFAULT_CONCURRENCY,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> list[dict[str, Any]]:
+    """Resumable multi-shard extraction run.
+
+    One shard per input file; a shard with a valid manifest (matching
+    lineage) is skipped. Returns the manifest list (one per shard).
+    """
+    import os
+
+    manifests: list[dict[str, Any]] = []
+    for path in input_files:
+        shard_name = os.path.splitext(os.path.basename(path))[0]
+        shard_dir = os.path.join(out_dir, f"shard={shard_name}")
+        lineage = lineage_id(
+            path,
+            schema.name if schema else "",
+            schema.version if schema else "",
+        )
+        if resume and manifest_is_valid(shard_dir, lineage):
+            m = dict(lineage=lineage, shard=shard_name, skipped=True)
+            manifests.append(m)
+            continue
+
+        # idempotent overwrite: stale part files from a dead/invalid run must
+        # not survive next to the rewrite (manifest absent => dir is garbage)
+        import shutil
+
+        shutil.rmtree(shard_dir, ignore_errors=True)
+
+        t0 = time.perf_counter()
+        if synthesize:
+            ds = rd.read_parquet(path, columns=["doc_id", "text", "lang"])
+            ds = ds.map_batches(
+                synthesize_pages_batch, batch_format="pyarrow", batch_size=batch_size
+            )
+        else:
+            ds = rd.read_parquet(path)
+        ext = run_extraction(
+            ds, schema, concurrency=concurrency, batch_size=batch_size
+        )
+        ext.write_parquet(shard_dir)
+        metrics = run_metrics(rd.read_parquet(shard_dir))
+        manifest = {
+            "lineage": lineage,
+            "shard": shard_name,
+            "input": path,
+            "rows": int(metrics["total_documents"]),
+            "successful_documents": int(metrics["successful_documents"]),
+            "failed_documents": int(metrics["failed_documents"]),
+            "average_confidence": metrics["average_confidence"],
+            "wall_s": round(time.perf_counter() - t0, 3),
+            "skipped": False,
+        }
+        write_manifest_atomic(shard_dir, manifest)
+        manifests.append(manifest)
+    return manifests

@@ -1,0 +1,665 @@
+"""Query catalog: every operator exposed through the driver contract.
+
+Each entry pairs a Ray-Data-first implementation (``fn(sf_dir) -> Dataset |
+pandas.DataFrame | pyarrow.Table``) with an equivalent DuckDB oracle SQL
+string (``sql=None`` for non-SQL-expressible ops — the driver then records a
+rows-only check). Column names match between both sides by construction;
+float aggregates are rounded identically on both sides so the driver's
+value-hash comparison is stable under summation order.
+
+Operator provenance is cited per query (SURVEY.md §2 ids).
+
+Scale notes (100 TB posture) are attached per query:
+- aggregations pre-combine inside ``map_batches`` before the (small) global
+  ``groupby`` — the shuffle moves partial sums, not rows;
+- small sides (dimension tables, correction deltas, query vectors) are
+  broadcast once via ``ray.put`` and read inside the stage, never shuffled;
+- the only row-moving shuffles are the dedup hash groupby and explicit
+  sorts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..schema import FieldDefinition, FieldType, SchemaDefinition
+from .extract_pipeline import pages_dataset, run_extraction
+
+# ---------------------------------------------------------------------------
+# shared config
+# ---------------------------------------------------------------------------
+
+INVOICE_SCHEMA = SchemaDefinition(
+    name="invoice",
+    version="1.0",
+    description="Invoice metadata embedded in the corpus boilerplate",
+    fields=[
+        FieldDefinition("invoice_number", FieldType.STRING, required=True),
+        FieldDefinition("invoice_date", FieldType.DATE, required=True),
+        FieldDefinition("subtotal", FieldType.CURRENCY),
+        FieldDefinition("tax_amount", FieldType.CURRENCY),
+        FieldDefinition("total_amount", FieldType.CURRENCY, required=True),
+        FieldDefinition("is_paid", FieldType.BOOLEAN),
+    ],
+    validation_rules=["total_amount == subtotal + tax_amount"],
+)
+
+_URL_SQL = (
+    "'https://h' || CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 41 END AS VARCHAR)"
+    " || '.example.com/p/' || CAST(doc_id AS VARCHAR)"
+)
+
+
+# -- oracle-stable rounding --------------------------------------------------
+# Ray and DuckDB sum floats in different orders (1-ulp drift) and their
+# round() modes differ (half-even vs half-away). Snapping to an integer of
+# scaled units on BOTH sides — CAST(round(x * 10^k) AS BIGINT) / 10^k —
+# yields bit-identical doubles whenever the integers agree, which makes the
+# driver's value-hash comparison deterministic.
+
+def _pc_round(col: pa.ChunkedArray | pa.Array, k: int):  # noqa: ANN201
+    scale = float(10 ** k)
+    # pyarrow's name for half-away-from-zero (DuckDB round()'s mode)
+    scaled = pc.round(pc.multiply(col, pa.scalar(scale)),
+                      ndigits=0, round_mode="half_towards_infinity")
+    return pc.divide(pc.cast(scaled, pa.int64()), pa.scalar(scale))
+
+
+def _np_round(arr: np.ndarray, k: int) -> np.ndarray:
+    scale = float(10 ** k)
+    scaled = arr * scale
+    snapped = np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5))
+    return snapped / scale
+
+
+def _py_round(x: float, k: int) -> float:
+    import math
+
+    scale = float(10 ** k)
+    s = x * scale
+    return (math.floor(s + 0.5) if s >= 0 else math.ceil(s - 0.5)) / scale
+
+
+def _sql_round(expr: str, k: int) -> str:
+    scale = 10 ** k
+    return f"CAST(round(({expr}) * {scale}) AS BIGINT) / {scale}.0"
+
+
+def _events(sf_dir: str, columns: list[str] | None = None) -> Dataset:
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _docs(sf_dir: str, columns: list[str] | None = None) -> Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# flagship extraction queries
+# ---------------------------------------------------------------------------
+
+def q_extract_text(sf_dir: str) -> Dataset:
+    """Flagship: pages -> main-content extraction (S1+T1, SURVEY §2.1/§2.3).
+
+    Oracle identity: extracted text is byte-identical to the embedded ground
+    truth, so ``SELECT url, kind, text, lang FROM documents`` (restated via
+    doc_id rules) reproduces the result exactly.
+    """
+    ext = run_extraction(pages_dataset(sf_dir))
+    return ext.select_columns(["url", "kind", "text", "lang"])
+
+
+def q_schema_extraction(sf_dir: str) -> Dataset:
+    """Schema-driven field extraction + normalize/validate (T1+M4/M5/M8+M11).
+
+    HTML lane only (the invoice metadata block is embedded in html
+    boilerplate; PDF-lane field extraction is exercised in unit tests).
+    """
+    ext = run_extraction(pages_dataset(sf_dir), INVOICE_SCHEMA)
+    ext = ext.filter(expr="kind == 'html'")
+    ext = ext.select_columns([
+        "url", "field_invoice_number", "field_invoice_date", "field_subtotal",
+        "field_tax_amount", "field_total_amount", "field_is_paid",
+    ])
+    return ext.rename_columns({
+        "field_invoice_number": "invoice_number",
+        "field_invoice_date": "invoice_date",
+        "field_subtotal": "subtotal",
+        "field_tax_amount": "tax_amount",
+        "field_total_amount": "total_amount",
+        "field_is_paid": "is_paid",
+    })
+
+
+def q_extract_counters_by_lang(sf_dir: str) -> Dataset:
+    """Run-level counters grouped by lang (A5–A7, routers/batches.py:222-241).
+
+    Pre-aggregates per batch (partial combine), then a tiny groupby over
+    partials — the shuffle carries one row per (lang, batch).
+    """
+    ext = run_extraction(pages_dataset(sf_dir)).select_columns(["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        chars = pc.utf8_length(batch.column("text"))
+        t = pa.table({"lang": batch.column("lang"), "chars": chars})
+        return t.group_by("lang").aggregate([("chars", "sum"), ("chars", "count")])
+
+    parts = ext.map_batches(partial, batch_format="pyarrow")
+    agg = parts.groupby("lang").aggregate(
+        Sum("chars_sum", alias_name="total_chars"),
+        Sum("chars_count", alias_name="n_docs"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        total = batch.column("total_chars").cast(pa.float64())
+        n = batch.column("n_docs").cast(pa.float64())
+        avg = _pc_round(pc.divide(total, n), 4)
+        return pa.table({
+            "lang": batch.column("lang"),
+            "n_docs": batch.column("n_docs").cast(pa.int64()),
+            "total_chars": batch.column("total_chars").cast(pa.int64()),
+            "avg_chars": avg,
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# relational operators over the star schema
+# ---------------------------------------------------------------------------
+
+def q_events_sort_limit(sf_dir: str) -> Dataset:
+    """O1: ORDER BY ts DESC (tie: event_id DESC) LIMIT 100
+    (reference routers/history.py:61-70)."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
+    return ds.sort(["ts", "event_id"], descending=[True, True]).limit(100)
+
+
+def q_first_event_per_user(sf_dir: str) -> Dataset:
+    """O4: first row per group (reference routers/batches.py:503-507 uses
+    'first extraction per document'). groupby + per-group head(1)."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["ts", "event_id"]).head(1)
+
+    return ds.groupby("user_id").map_groups(first, batch_format="pandas")
+
+
+def q_exact_dedup(sf_dir: str) -> Dataset:
+    """D1: exact dedup by content hash — hash-partition + per-group min
+    (the reference computes sha256 'for deduplication' but never filters,
+    routers/batches.py:381; here the dedup actually happens).
+
+    Scale: the shuffle key is the 32-char digest, not the payload; at 100 TB
+    this is THE dedup shuffle (SURVEY §7.2 step 7).
+    """
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        digests = [hashlib.md5(t.encode()).hexdigest() for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "text_md5": pa.array(digests, pa.string()),
+            "doc_id": batch.column("doc_id"),
+        })
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("text_md5")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+    )
+
+
+def q_revenue_by_nation(sf_dir: str) -> Dataset:
+    """J2-shape join + A5 aggregate: orders ⋈ customer ⋈ nation revenue.
+
+    Broadcast-small-side join: customer->nation and nation->name maps ride
+    the object store once (``ray.put``), looked up per batch — no shuffle of
+    the fact table. Partial sums per batch, then a 25-row groupby.
+    """
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]).to_pandas()
+    cust_map = dict(zip(cust.c_custkey, cust.c_nationkey))
+    nation_map = dict(zip(nation.n_nationkey, nation.n_name))
+    cust_ref = ray.put(cust_map)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cmap = ray.get(cust_ref)
+        custkeys = batch.column("o_custkey").to_pylist()
+        nk = [cmap.get(k, -1) for k in custkeys]
+        t = pa.table({
+            "n_nationkey": pa.array(nk, pa.int32()),
+            "price": batch.column("o_totalprice"),
+        })
+        return t.group_by("n_nationkey").aggregate([("price", "sum"), ("price", "count")])
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_nationkey")
+        .aggregate(Sum("price_sum", alias_name="revenue_raw"),
+                   Sum("price_count", alias_name="n_orders"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        names = [nation_map.get(k, "") for k in batch.column("n_nationkey").to_pylist()]
+        return pa.table({
+            "n_name": pa.array(names, pa.string()),
+            "n_orders": batch.column("n_orders").cast(pa.int64()),
+            "revenue": _pc_round(batch.column("revenue_raw"), 2),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_topk_customers(sf_dir: str) -> Dataset:
+    """Top-k by aggregate: top 10 customers by total order value
+    (sort/limit shape of O1 over an aggregate)."""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "price": batch.column("o_totalprice"),
+        })
+        return t.group_by("o_custkey").aggregate([("price", "sum")])
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("price_sum", alias_name="revenue_raw"))
+    )
+
+    rounded = agg.map_batches(
+        lambda b: pa.table({
+            "o_custkey": b.column("o_custkey"),
+            "revenue": _pc_round(b.column("revenue_raw"), 2),
+        }),
+        batch_format="pyarrow",
+    )
+    return rounded.sort(["revenue", "o_custkey"], descending=[True, False]).limit(10)
+
+
+def q_pricing_summary(sf_dir: str) -> Dataset:
+    """TPC-H-Q1-shaped grouped aggregate over lineitem (A5/A7 at fact scale).
+
+    The canonical partial-aggregation pattern: per-batch combine emits one
+    row per (returnflag, linestatus) per batch; the global shuffle moves
+    only partials.
+    """
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax"]
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), batch.column("l_tax")))
+        t = pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "qty": batch.column("l_quantity"),
+            "base": batch.column("l_extendedprice"),
+            "disc_price": disc_price,
+            "charge": charge,
+            "disc": batch.column("l_discount"),
+        })
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate([
+            ("qty", "sum"), ("base", "sum"), ("disc_price", "sum"),
+            ("charge", "sum"), ("disc", "sum"), ("qty", "count"),
+        ])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_sum", alias_name="sum_qty"),
+            Sum("base_sum", alias_name="sum_base_price"),
+            Sum("disc_price_sum", alias_name="sum_disc_price"),
+            Sum("charge_sum", alias_name="sum_charge"),
+            Sum("disc_sum", alias_name="s_disc"),
+            Sum("qty_count", alias_name="count_order"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("count_order").cast(pa.float64())
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "sum_qty": _pc_round(batch.column("sum_qty"), 2),
+            "sum_base_price": _pc_round(batch.column("sum_base_price"), 2),
+            "sum_disc_price": _pc_round(batch.column("sum_disc_price"), 2),
+            "sum_charge": _pc_round(batch.column("sum_charge"), 2),
+            "avg_qty": _pc_round(pc.divide(batch.column("sum_qty"), n), 4),
+            "avg_price": _pc_round(pc.divide(batch.column("sum_base_price"), n), 4),
+            "avg_disc": _pc_round(pc.divide(batch.column("s_disc"), n), 4),
+            "count_order": batch.column("count_order").cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_events_daily(sf_dir: str) -> Dataset:
+    """Tumbling daily window aggregate over the events stream table
+    (streaming-shaped workload restated as groupby over event-time buckets;
+    SURVEY §2.9 — the engine's window primitive)."""
+    ds = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(batch.column("ts"), format="%Y-%m-%d")
+        t = pa.table({
+            "day": day,
+            "event_type": batch.column("event_type"),
+            "value": batch.column("value"),
+        })
+        return t.group_by(["day", "event_type"]).aggregate([
+            ("value", "sum"), ("value", "count")
+        ])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("value_sum", alias_name="sv"),
+                   Sum("value_count", alias_name="n_events"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table({
+            "day": b.column("day"),
+            "event_type": b.column("event_type"),
+            "n_events": b.column("n_events").cast(pa.int64()),
+            "sum_value": _pc_round(b.column("sv"), 2),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_corrections_upsert(sf_dir: str) -> Dataset:
+    """J3: manual-override delta merge (reference routers/history.py:226-247
+    PATCH merges user corrections over stored data, last-writer-wins).
+
+    The corrections table (here: synthesized as upper-cased text for every
+    doc_id % 20 == 3) is small relative to the corpus — broadcast once and
+    applied per batch; no shuffle.
+    """
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    def _delta_rows(b: pa.Table) -> pa.Table:
+        mask = (b.column("doc_id").to_numpy(zero_copy_only=False) % 20) == 3
+        return b.filter(pa.array(mask))
+
+    corr_df = docs.map_batches(_delta_rows, batch_format="pyarrow").to_pandas()
+    corrections = {int(d): t.upper() for d, t in zip(corr_df.doc_id, corr_df.text)}
+    corr_ref = ray.put(corrections)
+
+    def apply(batch: pa.Table) -> pa.Table:
+        corr = ray.get(corr_ref)
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_t, out_c = [], []
+        for i, t in zip(ids, texts):
+            if i in corr:
+                out_t.append(corr[i])
+                out_c.append(True)
+            else:
+                out_t.append(t)
+                out_c.append(False)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text": pa.array(out_t, pa.string()),
+            "corrected": pa.array(out_c, pa.bool_()),
+        })
+
+    return docs.map_batches(apply, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# text analysis operators
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"\S+")
+_STOPWORDS = frozenset({"the", "a"})
+
+
+def q_token_quality(sf_dir: str) -> Dataset:
+    """Token counting + quality scoring over documents (training-data
+    pipeline ops; whitespace tokenizer + stopword ratio)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        texts = batch.column("text").to_pylist()
+        n_tokens, stop_ratio = [], []
+        for t in texts:
+            toks = _TOKEN_RE.findall(t or "")
+            n = len(toks)
+            n_tokens.append(n)
+            stops = sum(1 for w in toks if w.lower() in _STOPWORDS)
+            stop_ratio.append(_py_round(stops / n, 4) if n else None)
+        return pa.table({
+            "doc_id": ids,
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "stop_ratio": pa.array(stop_ratio, pa.float64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def q_knn_bruteforce(sf_dir: str) -> Dataset:
+    """ANN baseline: brute-force cosine top-10 vs a broadcast query vector
+    (numpy matmul per batch against the ray.put query matrix)."""
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qrow = emb.filter(pc.equal(emb.column("vec_id"), 0))
+    qvec = np.asarray(qrow.column("embedding")[0].as_py(), dtype=np.float64)
+    qvec /= np.linalg.norm(qvec)
+    q_ref = ray.put(qvec)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        X = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        cos = Xn @ q
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "cos": pa.array(_np_round(cos, 6), pa.float64()),
+        })
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    scored = scored.filter(expr="vec_id != 0")
+    return scored.sort(["cos", "vec_id"], descending=[True, False]).limit(10)
+
+
+def q_embedding_dup_pairs(sf_dir: str) -> Dataset:
+    """Embedding-cosine near-dup pairs, label-blocked (LSH-style blocking:
+    candidate pairs only within a block, pairwise verify inside the group)."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.stack(g["embedding"].to_numpy()[order]).astype(np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = Xn @ Xn.T
+        iu, ju = np.triu_indices(len(ids), 1)
+        mask = S[iu, ju] > 0.3
+        return pd.DataFrame({
+            "vec_a": ids[iu[mask]].astype("int64"),
+            "vec_b": ids[ju[mask]].astype("int64"),
+            "label": g["label"].iloc[0],
+            "cos": _np_round(S[iu, ju][mask], 6),
+        })
+
+    return ds.groupby("label").map_groups(pairs, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, dict] = {
+    "extract_text": {
+        "fn": q_extract_text,
+        "sql": f"""
+            SELECT {_URL_SQL} AS url,
+                   CASE WHEN doc_id % 10 = 7 THEN 'pdf' ELSE 'html' END AS kind,
+                   text, lang
+            FROM documents
+        """,
+    },
+    "schema_extraction": {
+        "fn": q_schema_extraction,
+        "sql": f"""
+            SELECT {_URL_SQL} AS url,
+                   'INV-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS invoice_number,
+                   strftime(DATE '2024-01-01' + INTERVAL (doc_id % 365) DAY, '%Y-%m-%d') AS invoice_date,
+                   (n_chars * 75) / 100.0 AS subtotal,
+                   ((n_chars * 75) // 10) / 100.0 AS tax_amount,
+                   ((n_chars * 75) + ((n_chars * 75) // 10)) / 100.0 AS total_amount,
+                   (doc_id % 2 = 0) AS is_paid
+            FROM documents
+            WHERE doc_id % 10 <> 7
+        """,
+    },
+    "extract_counters_by_lang": {
+        "fn": q_extract_counters_by_lang,
+        "sql": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(round((avg(n_chars)) * 10000) AS BIGINT) / 10000.0 AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+    },
+    "events_sort_limit": {
+        "fn": q_events_sort_limit,
+        "sql": """
+            SELECT event_id, ts, user_id, event_type, value
+            FROM events ORDER BY ts DESC, event_id DESC LIMIT 100
+        """,
+    },
+    "first_event_per_user": {
+        "fn": q_first_event_per_user,
+        "sql": """
+            SELECT user_id, event_id, ts, event_type FROM (
+                SELECT user_id, event_id, ts, event_type,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM events) t
+            WHERE rn = 1
+        """,
+    },
+    "exact_dedup": {
+        "fn": q_exact_dedup,
+        "sql": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+    },
+    "revenue_by_nation": {
+        "fn": q_revenue_by_nation,
+        "sql": """
+            SELECT n_name,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(round((sum(o_totalprice)) * 100) AS BIGINT) / 100.0 AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+    },
+    "topk_customers": {
+        "fn": q_topk_customers,
+        "sql": """
+            SELECT o_custkey, CAST(round((sum(o_totalprice)) * 100) AS BIGINT) / 100.0 AS revenue
+            FROM orders GROUP BY o_custkey
+            ORDER BY CAST(round((sum(o_totalprice)) * 100) AS BIGINT) / 100.0 DESC, o_custkey LIMIT 10
+        """,
+    },
+    "pricing_summary": {
+        "fn": q_pricing_summary,
+        "sql": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(round((sum(l_quantity)) * 100) AS BIGINT) / 100.0 AS sum_qty,
+                   CAST(round((sum(l_extendedprice)) * 100) AS BIGINT) / 100.0 AS sum_base_price,
+                   CAST(round((sum(l_extendedprice * (1 - l_discount))) * 100) AS BIGINT) / 100.0 AS sum_disc_price,
+                   CAST(round((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100) AS BIGINT) / 100.0 AS sum_charge,
+                   CAST(round((sum(l_quantity) / count(*)) * 10000) AS BIGINT) / 10000.0 AS avg_qty,
+                   CAST(round((sum(l_extendedprice) / count(*)) * 10000) AS BIGINT) / 10000.0 AS avg_price,
+                   CAST(round((sum(l_discount) / count(*)) * 10000) AS BIGINT) / 10000.0 AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+    },
+    "events_daily": {
+        "fn": q_events_daily,
+        "sql": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(round((sum(value)) * 100) AS BIGINT) / 100.0 AS sum_value
+            FROM events GROUP BY strftime(ts, '%Y-%m-%d'), event_type
+        """,
+    },
+    "corrections_upsert": {
+        "fn": q_corrections_upsert,
+        "sql": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 20 = 3 THEN upper(text) ELSE text END AS text,
+                   (doc_id % 20 = 3) AS corrected
+            FROM documents
+        """,
+    },
+    "token_quality": {
+        "fn": q_token_quality,
+        "sql": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+                   CAST(round((CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+                                              x -> x IN ('the', 'a'))) AS DOUBLE)
+                         / len(regexp_extract_all(text, '\S+'))) * 10000) AS BIGINT) / 10000.0 AS stop_ratio
+            FROM documents
+        """,
+    },
+    "knn_bruteforce": {
+        "fn": q_knn_bruteforce,
+        "sql": """
+            SELECT e2.vec_id,
+                   CAST(round((list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                                CAST(e2.embedding AS DOUBLE[]))) * 1000000) AS BIGINT) / 1000000.0 AS cos
+            FROM embeddings e1, embeddings e2
+            WHERE e1.vec_id = 0 AND e2.vec_id <> 0
+            ORDER BY cos DESC, e2.vec_id LIMIT 10
+        """,
+    },
+    "embedding_dup_pairs": {
+        "fn": q_embedding_dup_pairs,
+        "sql": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+                   CAST(round((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[]))) * 1000000) AS BIGINT) / 1000000.0 AS cos
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) > 0.3
+        """,
+    },
+}

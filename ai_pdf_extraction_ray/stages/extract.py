@@ -1,0 +1,180 @@
+"""The extraction stage: payload sniff -> HTML/PDF kernel -> validated record.
+
+This is the Ray-Data restatement of the reference's per-document pipeline
+(reference: app/backend/routers/batches.py:95-190 `process_single_document`
+plus services/ai/extraction.py:437-513 `extract_data`): a **callable class**
+for ``ds.map_batches(DocumentExtractor, concurrency=N, batch_size=B,
+batch_format="pyarrow")`` — schema compilation happens ONCE per actor in
+``__init__`` (the reference's lazy per-process client singleton,
+services/ai/__init__.py:117-133, is the precedent for load-once state),
+per-batch work in ``__call__``.
+
+Failure-is-data semantics throughout (reference routers/batches.py:152-162:
+failed documents become rows with confidence=0.0 and a warning, the batch
+continues): extractor errors produce rows with an ``error`` column, never
+task exceptions — retrying a deterministic parse error is wasted work.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from urllib.parse import urlparse
+
+import pyarrow as pa
+
+from ..functions.validation import validate_extracted_data
+from ..schema import (
+    SPAN_TYPE,
+    FieldType,
+    SchemaDefinition,
+    arrow_type_for,
+    round_confidence,
+)
+from ..functions.scalars import normalize_number, parse_currency, parse_date
+from .html_extract import compile_field_patterns, extract_fields, extract_html
+from .pdf_extract import extract_pdf
+
+
+def sniff_kind(payload: bytes | None) -> str:
+    """Payload dispatch: %PDF magic -> pdf lane, else html lane
+    (reference pdf_service.py:74-87 magic-byte check)."""
+    if not payload:
+        return "error"
+    if payload[:4] == b"%PDF":
+        return "pdf"
+    return "html"
+
+
+def _normalize_field_value(ftype: FieldType, value):  # noqa: ANN001
+    """Typed column value for an extracted field (dual representation:
+    the raw string stays in fields_json, the parsed value in the column —
+    reference validation.py:499-509 keeps both for currency)."""
+    if value is None:
+        return None
+    if ftype == FieldType.CURRENCY:
+        return parse_currency(value)
+    if ftype == FieldType.DATE:
+        return parse_date(value) or str(value)
+    if ftype == FieldType.NUMBER:
+        v = normalize_number(value)
+        return float(v) if v is not None else None
+    if ftype == FieldType.BOOLEAN:
+        return value if isinstance(value, bool) else None
+    if ftype == FieldType.PERCENTAGE:
+        from ..functions.scalars import normalize_percentage
+
+        return normalize_percentage(value)
+    if ftype == FieldType.ARRAY:
+        return json.dumps(value, sort_keys=True) if value is not None else None
+    return str(value)
+
+
+class DocumentExtractor:
+    """Actor-pool stage: Arrow batch of pages -> Arrow batch of extractions.
+
+    Parameters
+    ----------
+    schema_dict:
+        Optional ``SchemaDefinition.to_dict()`` payload. Broadcast by value
+        through the constructor (the classic broadcast-small-side pattern;
+        the reference likewise passes the schema by value into its
+        background task, routers/batches.py:414-420). When present, label
+        field extraction + validation run and typed ``field_<name>``
+        columns are emitted.
+    """
+
+    def __init__(self, schema_dict: dict | None = None) -> None:
+        self.schema: SchemaDefinition | None = (
+            SchemaDefinition.from_dict(schema_dict) if schema_dict else None
+        )
+        self.patterns = compile_field_patterns(self.schema) if self.schema else {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("html").to_pylist()
+
+        out: dict[str, list] = {
+            "url": urls,
+            "host": [],
+            "payload_sha256": [],
+            "kind": [],
+            "text": [],
+            "confidence": [],
+            "n_blocks": [],
+            "spans": [],
+            "warnings": [],
+            "error": [],
+        }
+        if self.schema:
+            out["fields_json"] = []
+            out["field_confidences_json"] = []
+            for f in self.schema.fields:
+                out[f"field_{f.name}"] = []
+
+        for url, payload in zip(urls, payloads):
+            host = urlparse(url).netloc if url else ""
+            out["host"].append(host)
+            out["payload_sha256"].append(
+                hashlib.sha256(payload).hexdigest() if payload else ""
+            )
+            kind = sniff_kind(payload)
+            if kind == "error":
+                rec = {
+                    "text": None, "spans": [], "confidence": 0.0, "n_blocks": 0,
+                    "warnings": [], "error": "empty payload", "flat_text": "",
+                }
+            elif kind == "pdf":
+                rec = extract_pdf(payload)
+            else:
+                rec = extract_html(payload)
+            if rec["error"] is not None:
+                kind = "error"
+            out["kind"].append(kind)
+            out["text"].append(rec["text"])
+            out["confidence"].append(round_confidence(rec["confidence"]))
+            out["n_blocks"].append(rec["n_blocks"])
+            out["spans"].append(rec["spans"])
+            warnings = list(rec["warnings"])
+
+            if self.schema:
+                raw_fields, confs = extract_fields(rec.get("flat_text") or "", self.patterns)
+                vres = validate_extracted_data(raw_fields, self.schema)
+                warnings.extend(w for w in vres.warnings if w not in warnings)
+                out["fields_json"].append(json.dumps(vres.validated_data, sort_keys=True))
+                out["field_confidences_json"].append(json.dumps(confs, sort_keys=True))
+                for f in self.schema.fields:
+                    out[f"field_{f.name}"].append(
+                        _normalize_field_value(f.type, vres.validated_data.get(f.name))
+                    )
+
+            out["warnings"].append(warnings)
+            out["error"].append(rec["error"])
+
+        arrays: dict[str, pa.Array] = {
+            "url": pa.array(out["url"], pa.string()),
+            "host": pa.array(out["host"], pa.string()),
+            "payload_sha256": pa.array(out["payload_sha256"], pa.string()),
+            "kind": pa.array(out["kind"], pa.string()),
+            "text": pa.array(out["text"], pa.string()),
+            "confidence": pa.array(out["confidence"], pa.float64()),
+            "n_blocks": pa.array(out["n_blocks"], pa.int64()),
+            "spans": pa.array(out["spans"], pa.list_(SPAN_TYPE)),
+            "warnings": pa.array(out["warnings"], pa.list_(pa.string())),
+            "error": pa.array(out["error"], pa.string()),
+        }
+        if self.schema:
+            arrays["fields_json"] = pa.array(out["fields_json"], pa.string())
+            arrays["field_confidences_json"] = pa.array(
+                out["field_confidences_json"], pa.string()
+            )
+            for f in self.schema.fields:
+                arrays[f"field_{f.name}"] = pa.array(
+                    out[f"field_{f.name}"], arrow_type_for(f.type)
+                )
+        # carry doc_id through when present (joins/oracles at test scale)
+        if "doc_id" in batch.column_names:
+            arrays["doc_id"] = batch.column("doc_id")
+        if "lang" in batch.column_names:
+            arrays["lang"] = batch.column("lang")
+        return pa.table(arrays)
