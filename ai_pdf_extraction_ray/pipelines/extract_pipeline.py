@@ -42,14 +42,26 @@ DEFAULT_BATCH_SIZE = 256
 DEFAULT_CONCURRENCY = 4
 
 
-def pages_dataset(sf_dir: str, *, include_doc_id: bool = True) -> Dataset:
+def pages_dataset(
+    sf_dir: str,
+    *,
+    include_doc_id: bool = True,
+    replicate: int = 1,
+    override_num_blocks: int | None = None,
+) -> Dataset:
     """documents.parquet -> canonical pages table (url, warc_ts, html, text, lang).
 
     Column pruning at the read: only the three columns the synthesizer needs
-    leave storage.
+    leave storage. ``replicate`` reads the input N times (bench-only knob to
+    scale work volume; urls repeat across replicas). ``override_num_blocks``
+    controls read fan-out — at test scale the single parquet file yields too
+    few blocks to keep an actor pool in steady state (aim for >= 4 blocks
+    per actor so waves pipeline with the write stage).
     """
     ds = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        [f"{sf_dir}/documents.parquet"] * max(1, replicate),
+        columns=["doc_id", "text", "lang"],
+        override_num_blocks=override_num_blocks,
     )
     return ds.map_batches(
         lambda b: synthesize_pages_batch(b, include_doc_id=include_doc_id),
@@ -63,15 +75,34 @@ def run_extraction(
     schema: SchemaDefinition | None = None,
     *,
     concurrency: int | tuple[int, int] = DEFAULT_CONCURRENCY,
-    batch_size: int = DEFAULT_BATCH_SIZE,
+    batch_size: int | None = None,
 ) -> Dataset:
-    """Attach the actor-pool extraction stage to a pages Dataset."""
+    """Attach the actor-pool extraction stage to a pages Dataset.
+
+    Tuning (measured on 32 cpus, see BASELINE.md):
+    - ``batch_size=None``: one batch per block — re-batching blocks into
+      small slices cost ~40% throughput;
+    - ``max_tasks_in_flight_per_actor=4``: queue tasks on each actor so
+      driver dispatch latency overlaps with compute (actors were idle
+      ~30% at 1 task in flight);
+    - pool size: ~85% of CPUs (callers), leaving headroom for read/write
+      tasks so the pool never starves the pipeline ends.
+    """
+    from ray.data import ActorPoolStrategy
+
+    if isinstance(concurrency, int):
+        compute = ActorPoolStrategy(size=concurrency, max_tasks_in_flight_per_actor=4)
+    else:
+        compute = ActorPoolStrategy(
+            min_size=concurrency[0], max_size=concurrency[1],
+            max_tasks_in_flight_per_actor=4,
+        )
     return pages.map_batches(
         DocumentExtractor,
         fn_constructor_kwargs={"schema_dict": schema.to_dict() if schema else None},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        compute=compute,
         num_cpus=1,
     )
 

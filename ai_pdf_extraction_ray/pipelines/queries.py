@@ -514,6 +514,62 @@ def q_embedding_dup_pairs(sf_dir: str) -> Dataset:
 
 
 # ---------------------------------------------------------------------------
+# dedup / text-analysis / similarity operators (stages modules)
+# ---------------------------------------------------------------------------
+
+def q_quality_scores(sf_dir: str) -> Dataset:
+    """Quality scoring over documents (Gopher/C4-style signals)."""
+    from ..stages.textstats import quality_scores
+
+    return quality_scores(sf_dir)
+
+
+def q_lang_id(sf_dir: str) -> Dataset:
+    """Function-word language ID (rows-only: the classifier is the spec)."""
+    from ..stages.textstats import language_id
+
+    return language_id(sf_dir)
+
+
+def q_fingerprints(sf_dir: str) -> Dataset:
+    """Rolling-hash + winnowing document fingerprints (rows-only)."""
+    from ..stages.textstats import fingerprints
+
+    return fingerprints(sf_dir)
+
+
+def q_minhash_near_dups(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH near-dup pairs with exact Jaccard verify (rows-only)."""
+    from ..stages.dedup import minhash_near_dups
+
+    return minhash_near_dups(sf_dir, threshold=0.5)
+
+
+def q_simhash_near_dups(sf_dir: str) -> pd.DataFrame:
+    """Banded SimHash near-dup pairs, Hamming-verified (rows-only)."""
+    from ..stages.dedup import simhash_near_dups
+
+    return simhash_near_dups(sf_dir, max_hamming=6)
+
+
+def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF-bucketed approximate cosine top-k (rows-only: approximate by
+    construction; exactness covered by knn_bruteforce's oracle)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import knn_ivf
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qrow = emb.filter(pc.equal(emb.column("vec_id"), 0))
+    qvec = np.asarray(qrow.column("embedding")[0].as_py(), dtype=np.float64)
+    return knn_ivf(sf_dir, qvec, k=10, nlist=16, nprobe=8, exclude={0})
+
+
+_EN_STOPS_SQL = "', '".join(sorted(
+    "the a an and of to in is you that it he was for on are as with his they at be this have from or had by".split()
+))
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -650,6 +706,31 @@ QUERIES: dict[str, dict] = {
             ORDER BY cos DESC, e2.vec_id LIMIT 10
         """,
     },
+    "quality_scores": {
+        "fn": q_quality_scores,
+        "sql": rf"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+                   CAST(round((CAST(len(list_filter(regexp_extract_all(text, '\S+'),
+                              x -> regexp_full_match(x, '[A-Za-z]+'))) AS DOUBLE)
+                        / len(regexp_extract_all(text, '\S+'))) * 10000) AS BIGINT) / 10000.0 AS alpha_ratio,
+                   CAST(round((CAST(list_sum(list_transform(regexp_extract_all(text, '\S+'),
+                              x -> length(x))) AS DOUBLE)
+                        / len(regexp_extract_all(text, '\S+'))) * 10000) AS BIGINT) / 10000.0 AS mean_token_len,
+                   CAST(round((CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                        / length(text)) * 10000) AS BIGINT) / 10000.0 AS punct_ratio,
+                   CAST(round((CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+                              x -> x IN ('{_EN_STOPS_SQL}'))) AS DOUBLE)
+                        / len(regexp_extract_all(text, '\S+'))) * 10000) AS BIGINT) / 10000.0 AS stop_ratio
+            FROM documents
+        """,
+    },
+    "lang_id": {"fn": q_lang_id, "sql": None},
+    "fingerprints": {"fn": q_fingerprints, "sql": None},
+    "minhash_near_dups": {"fn": q_minhash_near_dups, "sql": None},
+    "simhash_near_dups": {"fn": q_simhash_near_dups, "sql": None},
+    "knn_ivf": {"fn": q_knn_ivf, "sql": None},
     "embedding_dup_pairs": {
         "fn": q_embedding_dup_pairs,
         "sql": """

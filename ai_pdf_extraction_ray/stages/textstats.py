@@ -1,0 +1,190 @@
+"""Text-analysis stages: language ID, quality scoring, token counts,
+document fingerprinting.
+
+Training-data-pipeline operators over the ``documents`` table (and over
+extraction output). All vectorized-or-cheap per batch; the language
+profiles and stopword tables are module-level constants compiled once.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data import Dataset
+
+_TOKEN = re.compile(r"\S+")
+_WORD = re.compile(r"[a-zA-Zà-ÿÀ-ß]+")
+
+
+def _r4(x: float) -> float:
+    """4-dp half-away-from-zero rounding (matches the DuckDB oracle's
+    round(); python's round() is half-even)."""
+    import math
+
+    s = x * 10000.0
+    return (math.floor(s + 0.5) if s >= 0 else math.ceil(s - 0.5)) / 10000.0
+
+# Tiny function-word profiles (public linguistic knowledge); the classifier
+# scores languages by stopword hit counts — the classic cheap n-gram/
+# function-word heuristic.
+_LANG_PROFILES: dict[str, frozenset[str]] = {
+    "en": frozenset("the a an and of to in is you that it he was for on are as with his they at be this have from or had by".split()),
+    "de": frozenset("der die das und ist du nicht ich ein eine zu mit von für auf den dem des sie er wir ihr".split()),
+    "fr": frozenset("le la les un une et est de du des je tu il elle nous vous ils pour dans sur avec ne pas que qui".split()),
+    "es": frozenset("el la los las un una y es de del que en por para con no se su al lo como más pero sus".split()),
+}
+
+
+def detect_language(text: str) -> tuple[str, float]:
+    """(lang, score) by function-word voting; 'und' (undetermined) when no
+    profile scores."""
+    toks = [t.lower() for t in _WORD.findall(text or "")]
+    if not toks:
+        return "und", 0.0
+    best_lang, best_hits = "und", 0
+    for lang in sorted(_LANG_PROFILES):  # sorted: deterministic tie-break
+        hits = sum(1 for t in toks if t in _LANG_PROFILES[lang])
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    return best_lang, _r4(best_hits / len(toks))
+
+
+class LangId:
+    """Actor-pool stage: text -> predicted language + confidence."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds, scores = [], []
+        for t in batch.column("text").to_pylist():
+            lang, score = detect_language(t)
+            preds.append(lang)
+            scores.append(score)
+        out = {"doc_id": batch.column("doc_id")} if "doc_id" in batch.column_names else {}
+        out.update({
+            "pred_lang": pa.array(preds, pa.string()),
+            "lang_score": pa.array(scores, pa.float64()),
+        })
+        return pa.table(out)
+
+
+def language_id(sf_dir: str, *, concurrency: int = 2) -> Dataset:
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(LangId, batch_format="pyarrow",
+                            concurrency=concurrency, num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+_PUNCT = frozenset(".,!?;:")
+
+
+def quality_features(text: str) -> dict:
+    """Deterministic quality signals: lengths, token stats, punct/stopword
+    ratios, mean word length (Gopher/C4-style heuristics, public)."""
+    t = text or ""
+    toks = _TOKEN.findall(t)
+    n = len(toks)
+    n_chars = len(t)
+    words = [w for w in toks if w.isalpha()]
+    en_stops = _LANG_PROFILES["en"]
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n,
+        "mean_token_len": _r4(sum(len(w) for w in toks) / n) if n else 0.0,
+        "alpha_ratio": _r4(len(words) / n) if n else 0.0,
+        "punct_ratio": _r4(sum(c in _PUNCT for c in t) / n_chars) if n_chars else 0.0,
+        "stop_ratio": _r4(sum(w.lower() in en_stops for w in toks) / n) if n else 0.0,
+    }
+
+
+class QualityScorer:
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [quality_features(t) for t in batch.column("text").to_pylist()]
+        out = {"doc_id": batch.column("doc_id")} if "doc_id" in batch.column_names else {}
+        for key, typ in [
+            ("n_chars", pa.int64()), ("n_tokens", pa.int64()),
+            ("mean_token_len", pa.float64()), ("alpha_ratio", pa.float64()),
+            ("punct_ratio", pa.float64()), ("stop_ratio", pa.float64()),
+        ]:
+            out[key] = pa.array([f[key] for f in feats], typ)
+        return pa.table(out)
+
+
+def quality_scores(sf_dir: str, *, concurrency: int = 2) -> Dataset:
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(QualityScorer, batch_format="pyarrow",
+                            concurrency=concurrency, num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (rolling hash + winnowing)
+# ---------------------------------------------------------------------------
+
+_B = 1_000_003           # polynomial base
+_M = (1 << 61) - 1       # Mersenne modulus
+
+
+def rolling_hashes(text: str, k: int = 16) -> np.ndarray:
+    """All k-byte rolling polynomial hashes of the utf-8 text (Rabin-Karp)."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+    n = len(data)
+    if n < k:
+        h = 0
+        for b in data:
+            h = (h * _B + int(b)) % _M
+        return np.array([h], dtype=np.int64)
+    out = np.empty(n - k + 1, dtype=np.int64)
+    h = 0
+    for i in range(k):
+        h = (h * _B + int(data[i])) % _M
+    out[0] = h
+    top = pow(_B, k - 1, _M)
+    for i in range(1, n - k + 1):
+        h = ((h - int(data[i - 1]) * top) * _B + int(data[i + k - 1])) % _M
+        out[i] = h % _M
+    return out % _M
+
+
+def fingerprint(text: str, k: int = 16, window: int = 8) -> tuple[int, int]:
+    """(doc_fingerprint, n_distinct_grams) via winnowing: min hash per
+    sliding window, xor-folded into one 61-bit value (order-insensitive)."""
+    hs = rolling_hashes(text or "", k)
+    if len(hs) <= window:
+        mins = {int(hs.min())} if len(hs) else set()
+    else:
+        # winnowing: minimum of each window of `window` consecutive hashes
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        mins = set(sliding_window_view(hs, window).min(axis=1).tolist())
+    fp = 0
+    for m in mins:
+        fp ^= (m * 0x9E3779B97F4A7C15) % _M  # golden-ratio mix before fold
+    return fp, len(mins)
+
+
+class Fingerprinter:
+    def __init__(self, k: int = 16, window: int = 8) -> None:
+        self.k, self.window = k, window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps, nsel = [], []
+        for t in batch.column("text").to_pylist():
+            fp, n = fingerprint(t, self.k, self.window)
+            fps.append(fp)
+            nsel.append(n)
+        out = {"doc_id": batch.column("doc_id")} if "doc_id" in batch.column_names else {}
+        out["fingerprint"] = pa.array(fps, pa.int64())
+        out["n_grams"] = pa.array(nsel, pa.int64())
+        return pa.table(out)
+
+
+def fingerprints(sf_dir: str, *, concurrency: int = 2) -> Dataset:
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(Fingerprinter, batch_format="pyarrow",
+                            concurrency=concurrency, num_cpus=1)

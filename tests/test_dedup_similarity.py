@@ -1,0 +1,145 @@
+"""Dedup / similarity / textstats operator tests with known ground truth."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ai_pdf_extraction_ray.stages.dedup import (
+    hamming64,
+    jaccard,
+    minhash_candidate_pairs,
+    minhash_signature,
+    shingles,
+    simhash64,
+    _hash_params,
+)
+from ai_pdf_extraction_ray.stages.textstats import (
+    detect_language,
+    fingerprint,
+    quality_features,
+    rolling_hashes,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestMinHash:
+    def test_identical_texts_identical_signatures(self):
+        a, b = _hash_params(64)
+        t = "the quick brown fox jumps over the lazy dog again and again"
+        s1 = minhash_signature(shingles(t), a, b)
+        s2 = minhash_signature(shingles(t), a, b)
+        assert (s1 == s2).all()
+
+    def test_similar_texts_share_most_minhashes(self):
+        a, b = _hash_params(64)
+        base = " ".join(f"w{i}" for i in range(100))
+        near = base + " extra"
+        s1 = minhash_signature(shingles(base), a, b)
+        s2 = minhash_signature(shingles(near), a, b)
+        agree = (s1 == s2).mean()
+        true_j = jaccard(shingles(base), shingles(near))
+        assert abs(agree - true_j) < 0.2
+        assert agree > 0.8
+
+    def test_disjoint_texts_rarely_agree(self):
+        a, b = _hash_params(64)
+        s1 = minhash_signature(shingles(" ".join(f"a{i}" for i in range(50))), a, b)
+        s2 = minhash_signature(shingles(" ".join(f"b{i}" for i in range(50))), a, b)
+        assert (s1 == s2).mean() < 0.1
+
+    def test_lsh_finds_planted_duplicates(self, ray_session):
+        import ray.data as rd
+
+        texts = [" ".join(f"t{i}_{j}" for j in range(60)) for i in range(40)]
+        texts.append(texts[0] + " tail")   # planted near-dup of doc 0 -> id 40
+        texts.append(texts[5])             # exact dup of doc 5 -> id 41
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        pairs = minhash_candidate_pairs(rd.from_pandas(df), concurrency=2).to_pandas()
+        found = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
+        assert (0, 40) in found
+        assert (5, 41) in found
+        # no massive false-positive blowup
+        assert len(found) < 20
+
+
+class TestSimHash:
+    def test_identical_zero_hamming(self):
+        t = "some document text with enough words to vote on bits"
+        assert hamming64(simhash64(t), simhash64(t)) == 0
+
+    def test_near_texts_low_hamming_far_texts_high(self):
+        base = " ".join(f"tok{i}" for i in range(200))
+        near = base + " almost"
+        far = " ".join(f"zzz{i}" for i in range(200))
+        h_near = hamming64(simhash64(base), simhash64(near))
+        h_far = hamming64(simhash64(base), simhash64(far))
+        assert h_near <= 6
+        assert h_far > 15
+
+
+class TestTextStats:
+    def test_language_id(self):
+        en = "the cat sat on the mat and it was happy to be there"
+        de = "der hund ist nicht zu hause und ich bin mit dem auto"
+        fr = "le chat est dans la maison et il ne veut pas sortir"
+        es = "el perro es grande y no quiere salir de la casa"
+        assert detect_language(en)[0] == "en"
+        assert detect_language(de)[0] == "de"
+        assert detect_language(fr)[0] == "fr"
+        assert detect_language(es)[0] == "es"
+        assert detect_language("")[0] == "und"
+        assert detect_language("zxq qqq 123")[0] == "und"
+
+    def test_quality_features(self):
+        f = quality_features("the cat, the hat!")
+        assert f["n_tokens"] == 4
+        assert f["n_chars"] == 17
+        assert f["stop_ratio"] == 0.5  # 'the' twice of 4 tokens
+        assert f["punct_ratio"] == pytest.approx(2 / 17, abs=1e-4)
+
+    def test_rolling_hash_shift_invariance(self):
+        # same 16-gram appearing at different offsets hashes identically
+        h1 = rolling_hashes("abcdefghijklmnop" + "XXXX")
+        h2 = rolling_hashes("YY" + "abcdefghijklmnop")
+        assert h1[0] == h2[2]
+
+    def test_fingerprint_deterministic_and_discriminative(self):
+        a = " ".join(f"w{i}" for i in range(50))
+        b = " ".join(f"v{i}" for i in range(50))
+        assert fingerprint(a) == fingerprint(a)
+        assert fingerprint(a)[0] != fingerprint(b)[0]
+
+
+class TestSimilarity:
+    def test_flat_knn_matches_numpy(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from ai_pdf_extraction_ray.stages.similarity import knn_flat
+
+        emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+        X = np.stack(emb.embedding.values).astype(np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        q = Xn[0]
+        cos = Xn @ q
+        order = np.lexsort((emb.vec_id.values, -np.round(cos, 6)))
+        expected = [v for v in emb.vec_id.values[order] if v != 0][:5]
+
+        got = knn_flat(SF, X[0], k=5, exclude={0})
+        assert got.vec_id.tolist() == expected
+
+    def test_ivf_recall_vs_flat(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from ai_pdf_extraction_ray.stages.similarity import knn_flat, knn_ivf
+
+        emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+        X = np.stack(emb.embedding.values).astype(np.float64)
+        exact = set(knn_flat(SF, X[0], k=10, exclude={0}).vec_id)
+        approx = set(knn_ivf(SF, X[0], k=10, nlist=8, nprobe=8, exclude={0}).vec_id)
+        # nprobe == nlist => exhaustive => equal to exact
+        assert approx == exact
+        some = set(knn_ivf(SF, X[0], k=10, nlist=8, nprobe=3, exclude={0}).vec_id)
+        assert len(some & exact) >= 5  # partial probe keeps decent recall
