@@ -565,6 +565,113 @@ def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
     return knn_ivf(sf_dir, qvec, k=10, nlist=16, nprobe=8, exclude={0})
 
 
+def q_repair_completion(sf_dir: str) -> Dataset:
+    """T3 smart repair: drop tax_amount from the extracted record, let the
+    rule solver recompute it from ``total_amount == subtotal + tax_amount``
+    (reference repair.py:57-223 as deterministic equation solving)."""
+    import json as _json
+
+    from ..stages.repair import RepairStage
+
+    ext = run_extraction(pages_dataset(sf_dir), INVOICE_SCHEMA)
+    ext = ext.filter(expr="kind == 'html'")
+
+    def drop_tax(batch: pa.Table) -> pa.Table:
+        fields = [_json.loads(x) for x in batch.column("fields_json").to_pylist()]
+        for f in fields:
+            f["tax_amount"] = None
+        return batch.set_column(
+            batch.column_names.index("fields_json"), "fields_json",
+            pa.array([_json.dumps(f, sort_keys=True) for f in fields], pa.string()),
+        )
+
+    repaired = ext.map_batches(drop_tax, batch_format="pyarrow").map_batches(
+        RepairStage,
+        fn_constructor_kwargs={"schema_dict": INVOICE_SCHEMA.to_dict()},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        fields = [_json.loads(x) for x in batch.column("fields_json").to_pylist()]
+        audits = [_json.loads(x) for x in batch.column("repaired_json").to_pylist()]
+        return pa.table({
+            "url": batch.column("url"),
+            "tax_amount": pa.array([f.get("tax_amount") for f in fields], pa.float64()),
+            "was_repaired": pa.array(["tax_amount" in a for a in audits], pa.bool_()),
+        })
+
+    return repaired.map_batches(project, batch_format="pyarrow")
+
+
+def q_merge_chunked(sf_dir: str) -> Dataset:
+    """A4 chunk-merge: split each record into two chunk rows (chunk 0 holds
+    only subtotal, chunk 1 the rest), reduce with groupby(url) —
+    first-non-null scalars + appended arrays must reassemble the record
+    (reference extraction.py:337-434)."""
+    import json as _json
+
+    from ..functions.merge import merge_chunked
+
+    ext = run_extraction(pages_dataset(sf_dir), INVOICE_SCHEMA)
+    ext = ext.filter(expr="kind == 'html'")
+
+    def split_chunks(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        fields = [_json.loads(x) for x in batch.column("fields_json").to_pylist()]
+        fconfs = batch.column("field_confidences_json").to_pylist()
+        confs = batch.column("confidence").to_pylist()
+        out = {"url": [], "chunk_index": [], "fields_json": [],
+               "field_confidences_json": [], "confidence": [], "text": []}
+        for u, fd, fc, c in zip(urls, fields, fconfs, confs):
+            chunk0 = {"subtotal": fd.get("subtotal")}
+            chunk1 = {k: v for k, v in fd.items() if k != "subtotal"}
+            for idx, chunk in ((0, chunk0), (1, chunk1)):
+                out["url"].append(u)
+                out["chunk_index"].append(idx)
+                out["fields_json"].append(_json.dumps(chunk, sort_keys=True))
+                out["field_confidences_json"].append(fc)
+                out["confidence"].append(c)
+                out["text"].append("")
+        return pa.table({
+            "url": pa.array(out["url"], pa.string()),
+            "chunk_index": pa.array(out["chunk_index"], pa.int64()),
+            "fields_json": pa.array(out["fields_json"], pa.string()),
+            "field_confidences_json": pa.array(out["field_confidences_json"], pa.string()),
+            "confidence": pa.array(out["confidence"], pa.float64()),
+            "text": pa.array(out["text"], pa.string()),
+        })
+
+    merged = merge_chunked(
+        ext.map_batches(split_chunks, batch_format="pyarrow"), INVOICE_SCHEMA
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        fields = [_json.loads(x) for x in batch.column("fields_json").to_pylist()]
+        return pa.table({
+            "url": batch.column("url"),
+            "invoice_number": pa.array([f.get("invoice_number") for f in fields], pa.string()),
+            "subtotal": pa.array([f.get("subtotal") for f in fields], pa.string()),
+            "total_amount": pa.array([f.get("total_amount") for f in fields], pa.string()),
+            "n_chunks": batch.column("n_chunks").cast(pa.int64()),
+        })
+
+    return merged.map_batches(project, batch_format="pyarrow")
+
+
+def q_discovered_schema(sf_dir: str) -> pd.DataFrame:
+    """T2 schema discovery over a deterministic sample (rows-only: the
+    inferred schema is the deterministic spec itself)."""
+    from ..stages.discovery import discover_schema
+
+    schema = discover_schema(pages_dataset(sf_dir), sample_size=6)
+    return pd.DataFrame({
+        "field": schema.field_names,
+        "type": [f.type.value for f in schema.fields],
+        "required": [f.required for f in schema.fields],
+    })
+
+
 _EN_STOPS_SQL = "', '".join(sorted(
     "the a an and of to in is you that it he was for on are as with his they at be this have from or had by".split()
 ))
@@ -706,6 +813,31 @@ QUERIES: dict[str, dict] = {
             ORDER BY cos DESC, e2.vec_id LIMIT 10
         """,
     },
+    "repair_completion": {
+        "fn": q_repair_completion,
+        "sql": f"""
+            SELECT {_URL_SQL} AS url,
+                   ((n_chars * 75) // 10) / 100.0 AS tax_amount,
+                   TRUE AS was_repaired
+            FROM documents
+            WHERE doc_id % 10 <> 7
+        """,
+    },
+    "merge_chunked": {
+        "fn": q_merge_chunked,
+        "sql": f"""
+            SELECT {_URL_SQL} AS url,
+                   'INV-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS invoice_number,
+                   '$' || format('{{:,}}', (n_chars * 75) // 100) || '.'
+                       || lpad(CAST((n_chars * 75) % 100 AS VARCHAR), 2, '0') AS subtotal,
+                   '$' || format('{{:,}}', ((n_chars * 75) + ((n_chars * 75) // 10)) // 100) || '.'
+                       || lpad(CAST(((n_chars * 75) + ((n_chars * 75) // 10)) % 100 AS VARCHAR), 2, '0') AS total_amount,
+                   CAST(2 AS BIGINT) AS n_chunks
+            FROM documents
+            WHERE doc_id % 10 <> 7
+        """,
+    },
+    "discovered_schema": {"fn": q_discovered_schema, "sql": None},
     "quality_scores": {
         "fn": q_quality_scores,
         "sql": rf"""

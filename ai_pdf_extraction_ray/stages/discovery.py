@@ -1,0 +1,134 @@
+"""Schema discovery: infer a SchemaDefinition from a document sample.
+
+Deterministic replacement for the reference's LLM discovery kernel
+(reference: app/backend/services/ai/discovery.py:256-361 samples
+representative pages and asks a model for fields + rules; the conversion /
+filtering layer discovery.py:200-248 survives verbatim in spirit):
+
+1. sample k documents (``ds.limit`` on a deterministic shard — the
+   dataset-level analogue of the representative-page sampler,
+   pdf_service.py:203-283);
+2. collect ``Label: value`` lines from the flat text of each sample page
+   (the same label surface the field extractor reads);
+3. keep labels that appear in >= ``min_support`` fraction of samples;
+4. infer each field's type from its observed values (currency symbol /
+   parseable date / boolean words / numeric / fallback STRING — mirroring
+   discovery's unknown->STRING coercion, discovery.py:205-212);
+5. propose validation rules by testing additive relations among currency
+   fields on the sampled values (``c == a + b`` holding within the
+   reference's 1% tolerance on every sample where all three are present);
+   rules referencing non-schema fields are dropped by the
+   SchemaDefinition constructor (discovery.py:223-238 semantics).
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+
+from ray.data import Dataset
+
+from ..functions.scalars import normalize_boolean, parse_currency, parse_date
+from ..schema import FieldDefinition, FieldType, SchemaDefinition, coerce_field_name
+from .extract import sniff_kind
+from .html_extract import extract_html
+from .pdf_extract import extract_pdf
+
+_LABEL_LINE = re.compile(r"^([A-Za-z][A-Za-z0-9 _-]{1,40})\s*:\s*(.+?)\s*$", re.MULTILINE)
+
+_CURRENCY_HINT = re.compile(r"^[\s]*[-(]?[$€£¥]")
+
+
+def infer_type(values: list[str]) -> FieldType:
+    """Majority-vote type inference over observed sample values."""
+    votes = {ft: 0 for ft in (FieldType.CURRENCY, FieldType.DATE,
+                              FieldType.BOOLEAN, FieldType.NUMBER)}
+    for v in values:
+        if _CURRENCY_HINT.match(v) and parse_currency(v) is not None:
+            votes[FieldType.CURRENCY] += 1
+        elif parse_date(v) is not None:
+            votes[FieldType.DATE] += 1
+        elif normalize_boolean(v) is not None:
+            votes[FieldType.BOOLEAN] += 1
+        else:
+            try:
+                float(v.replace(",", ""))
+                votes[FieldType.NUMBER] += 1
+            except ValueError:
+                pass
+    best, n = max(votes.items(), key=lambda kv: (kv[1], -list(votes).index(kv[0])))
+    if n * 2 > len(values):  # strict majority, else STRING catch-all
+        return best
+    return FieldType.STRING
+
+
+def harvest_labels(flat_text: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _LABEL_LINE.finditer(flat_text or ""):
+        try:
+            name = coerce_field_name(m.group(1).strip().replace(" ", "_"))
+        except ValueError:
+            continue
+        if name not in out:
+            out[name] = m.group(2).strip()
+    return out
+
+
+def propose_rules(
+    fields: list[str], samples: list[dict[str, float]], tolerance_pct: float = 0.01
+) -> list[str]:
+    """Additive relations ``c == a + b`` that hold on every complete sample
+    (>= 2 supporting samples required)."""
+    rules: list[str] = []
+    for c, a, b in itertools.permutations(fields, 3):
+        if a >= b:  # a+b symmetric: canonical order, no duplicates
+            continue
+        support = 0
+        ok = True
+        for s in samples:
+            va, vb, vc = s.get(a), s.get(b), s.get(c)
+            if va is None or vb is None or vc is None:
+                continue
+            support += 1
+            tol = max(abs(vc) * tolerance_pct, 0.02)
+            if abs((va + vb) - vc) > tol:
+                ok = False
+                break
+        if ok and support >= 2:
+            rules.append(f"{c} == {a} + {b}")
+    return rules
+
+
+def discover_schema(
+    pages: Dataset, *, sample_size: int = 6, min_support: float = 0.5,
+    name: str = "discovered",
+) -> SchemaDefinition:
+    """Sample pages -> inferred SchemaDefinition (driver-side; cheap)."""
+    sample = pages.limit(sample_size).to_pandas()
+    harvested: list[dict[str, str]] = []
+    for payload in sample["html"]:
+        kind = sniff_kind(payload)
+        rec = extract_pdf(payload) if kind == "pdf" else extract_html(payload)
+        harvested.append(harvest_labels(rec.get("flat_text") or ""))
+
+    counts: dict[str, list[str]] = {}
+    for h in harvested:
+        for k, v in h.items():
+            counts.setdefault(k, []).append(v)
+    n = max(1, len(harvested))
+    field_names = [k for k, vs in counts.items() if len(vs) / n >= min_support]
+
+    fields = [
+        FieldDefinition(name=k, type=infer_type(counts[k]),
+                        required=len(counts[k]) == n)
+        for k in field_names
+    ]
+    if not fields:
+        fields = [FieldDefinition("text", FieldType.STRING)]
+
+    currency_fields = [f.name for f in fields if f.type == FieldType.CURRENCY]
+    samples_numeric = [
+        {k: parse_currency(h.get(k)) for k in currency_fields} for h in harvested
+    ]
+    rules = propose_rules(currency_fields, samples_numeric)
+    return SchemaDefinition(name=name, fields=fields, validation_rules=rules)
