@@ -565,6 +565,140 @@ def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
     return knn_ivf(sf_dir, qvec, k=10, nlist=16, nprobe=8, exclude={0})
 
 
+def q_orders_lineitem_join(sf_dir: str) -> Dataset:
+    """Large ⋈ large: lineitem ⋈ orders on orderkey via ``Dataset.join``
+    (hash-partitioned shuffle join — both sides too big to broadcast at
+    scale), then revenue per order priority. num_partitions sizes the
+    hash exchange; partial pre-aggregation before the final 5-row groupby."""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    items = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    joined = items.join(
+        orders, join_type="inner", num_partitions=16,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        t = pa.table({
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "rev": rev,
+        })
+        return t.group_by("o_orderpriority").aggregate([("rev", "sum"), ("rev", "count")])
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("rev_sum", alias_name="raw"),
+                   Sum("rev_count", alias_name="n_items"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "n_items": b.column("n_items").cast(pa.int64()),
+            "revenue": _pc_round(b.column("raw"), 2),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_sessionize(sf_dir: str) -> Dataset:
+    """Gap-based sessionization (streaming-shaped workload, SURVEY §2.9):
+    per user, a >30-minute silence starts a new session. groupby(user) +
+    in-group sort by event time — the engine's session-window primitive."""
+    ds = _events(sf_dir, ["user_id", "event_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gaps = g["ts"].diff()
+        new_session = gaps.isna() | (gaps > pd.Timedelta(minutes=30))
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_sessions": [int(new_session.sum())],
+            "n_events": [len(g)],
+        })
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def q_props_json(sf_dir: str) -> Dataset:
+    """JSON scalar extraction over the events props column (per-record json
+    decode, reference extraction.py:256-277 shape), aggregated by type."""
+    import json as _json
+
+    ds = _events(sf_dir, ["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks = [int(_json.loads(p)["k"]) for p in batch.column("props").to_pylist()]
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "k": pa.array(ks, pa.int64()),
+        })
+        return t.group_by("event_type").aggregate([("k", "sum"), ("k", "count")])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("k_sum", alias_name="sum_k"),
+                   Sum("k_count", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table({
+            "event_type": b.column("event_type"),
+            "sum_k": b.column("sum_k").cast(pa.int64()),
+            "n": b.column("n").cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_distinct_event_types(sf_dir: str) -> Dataset:
+    """Distinct / count-distinct: per user, number of distinct event types
+    (exact; groupby + in-group nunique — the D-family set op)."""
+    ds = _events(sf_dir, ["user_id", "event_type"])
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_types": [int(g["event_type"].nunique())],
+        })
+
+    return ds.groupby("user_id").map_groups(distinct, batch_format="pandas")
+
+
+def q_media_image_features(sf_dir: str) -> Dataset:
+    """Multimodal: image decode + feature extraction over opaque binary
+    payloads (deterministic SyntheticMedia codec; real codecs stubbed —
+    see stages/multimodal.py). Rows-only: byte-level decode semantics are
+    pinned by unit tests."""
+    from ..stages.multimodal import image_features
+
+    return image_features(sf_dir)
+
+
+def q_media_audio_video(sf_dir: str) -> pd.DataFrame:
+    """Multimodal: audio feature extraction + video frame sampling
+    (rows-only; exact expected values pinned by unit tests)."""
+    from ..stages.multimodal import audio_features, video_frames
+
+    audio = audio_features(sf_dir).to_pandas()
+    frames = video_frames(sf_dir, stride=5).to_pandas()
+    frame_counts = frames.groupby("media_id").size().rename("n_sampled_frames")
+    audio_summary = pd.DataFrame({
+        "media_id": audio.media_id,
+        "kind": "audio",
+        "value": audio.rms,
+    })
+    video_summary = pd.DataFrame({
+        "media_id": frame_counts.index.astype("int64"),
+        "kind": "video",
+        "value": frame_counts.to_numpy().astype("float64"),
+    })
+    return pd.concat([audio_summary, video_summary], ignore_index=True)
+
+
 def q_repair_completion(sf_dir: str) -> Dataset:
     """T3 smart repair: drop tax_amount from the extracted record, let the
     rule solver recompute it from ``total_amount == subtotal + tax_amount``
@@ -813,6 +947,50 @@ QUERIES: dict[str, dict] = {
             ORDER BY cos DESC, e2.vec_id LIMIT 10
         """,
     },
+    "orders_lineitem_join": {
+        "fn": q_orders_lineitem_join,
+        "sql": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(round((sum(l_extendedprice * (1 - l_discount))) * 100) AS BIGINT) / 100.0 AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+    },
+    "sessionize": {
+        "fn": q_sessionize,
+        "sql": """
+            WITH g AS (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id,
+                   CAST(sum(new_session) AS BIGINT) AS n_sessions,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM g GROUP BY user_id
+        """,
+    },
+    "props_json": {
+        "fn": q_props_json,
+        "sql": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type
+        """,
+    },
+    "distinct_event_types": {
+        "fn": q_distinct_event_types,
+        "sql": """
+            SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+            FROM events GROUP BY user_id
+        """,
+    },
+    "media_image_features": {"fn": q_media_image_features, "sql": None},
+    "media_audio_video": {"fn": q_media_audio_video, "sql": None},
     "repair_completion": {
         "fn": q_repair_completion,
         "sql": f"""

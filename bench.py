@@ -155,6 +155,8 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    lo_n, hi_n = (int(x) for x in os.environ.get("GRAFT_SCALE_LEVELS", "8,32").split(","))
+
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_QUERIES="0",
@@ -168,15 +170,15 @@ def run_scaling() -> dict:
     # the sandbox VM is noisy (+-25% run to run); take the best of two runs
     # per level — we measure engine capability at each parallelism, not VM
     # neighbor interference
-    lo = min((run(8) for _ in range(2)), key=lambda r: r["value"])
-    hi = min((run(32) for _ in range(2)), key=lambda r: r["value"])
-    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    lo = min((run(lo_n) for _ in range(2)), key=lambda r: r["value"])
+    hi = min((run(hi_n) for _ in range(2)), key=lambda r: r["value"])
+    eff = (lo["value"] / hi["value"]) / (hi_n / lo_n)
     return {
-        "metric": "scaling efficiency (num_cpus 8 -> 32, same input, best of 2)",
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
-        "docs_per_sec_8": lo["docs_per_sec"],
-        "docs_per_sec_32": hi["docs_per_sec"],
+        "metric": f"scaling efficiency (num_cpus {lo_n} -> {hi_n}, same input, best of 2)",
+        f"sec_{lo_n}": lo["value"],
+        f"sec_{hi_n}": hi["value"],
+        f"docs_per_sec_{lo_n}": lo["docs_per_sec"],
+        f"docs_per_sec_{hi_n}": hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "sf": SF_DIR,
     }
