@@ -97,9 +97,15 @@ def run_extraction(
             min_size=concurrency[0], max_size=concurrency[1],
             max_tasks_in_flight_per_actor=4,
         )
+    import json as _json
+
     return pages.map_batches(
         DocumentExtractor,
-        fn_constructor_kwargs={"schema_dict": schema.to_dict() if schema else None},
+        # json string: hashable constructor args (Ray dedupes without the
+        # "Failed to hash the schemas" log noise a dict causes)
+        fn_constructor_kwargs={
+            "schema_dict": _json.dumps(schema.to_dict(), sort_keys=True) if schema else None
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         compute=compute,

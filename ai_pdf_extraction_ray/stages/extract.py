@@ -70,25 +70,42 @@ def _normalize_field_value(ftype: FieldType, value):  # noqa: ANN001
     return str(value)
 
 
+MAX_PAYLOAD_BYTES = 8 * 1024 * 1024
+"""Oversize lane threshold: payloads beyond this are truncated before the
+parse (HTML) or rejected (PDF — a truncated PDF is not parseable), with a
+warning recorded. Guarantees one 200 MB row cannot stall a block
+(SURVEY.md §7.4 hard part #4)."""
+
+
 class DocumentExtractor:
     """Actor-pool stage: Arrow batch of pages -> Arrow batch of extractions.
 
     Parameters
     ----------
     schema_dict:
-        Optional ``SchemaDefinition.to_dict()`` payload. Broadcast by value
-        through the constructor (the classic broadcast-small-side pattern;
-        the reference likewise passes the schema by value into its
-        background task, routers/batches.py:414-420). When present, label
-        field extraction + validation run and typed ``field_<name>``
-        columns are emitted.
+        Optional ``SchemaDefinition.to_dict()`` payload (or its JSON string
+        — hashable, which lets Ray dedupe actor constructor args without
+        warnings). Broadcast by value through the constructor (the classic
+        broadcast-small-side pattern; the reference likewise passes the
+        schema by value into its background task, routers/batches.py:414-420).
+        When present, label field extraction + validation run and typed
+        ``field_<name>`` columns are emitted.
+    max_payload_bytes:
+        Oversize-lane threshold (see MAX_PAYLOAD_BYTES).
     """
 
-    def __init__(self, schema_dict: dict | None = None) -> None:
+    def __init__(
+        self,
+        schema_dict: dict | str | None = None,
+        max_payload_bytes: int = MAX_PAYLOAD_BYTES,
+    ) -> None:
+        if isinstance(schema_dict, str):
+            schema_dict = json.loads(schema_dict)
         self.schema: SchemaDefinition | None = (
             SchemaDefinition.from_dict(schema_dict) if schema_dict else None
         )
         self.patterns = compile_field_patterns(self.schema) if self.schema else {}
+        self.max_payload_bytes = max_payload_bytes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -119,15 +136,32 @@ class DocumentExtractor:
                 hashlib.sha256(payload).hexdigest() if payload else ""
             )
             kind = sniff_kind(payload)
+            oversize = payload is not None and len(payload) > self.max_payload_bytes
             if kind == "error":
                 rec = {
                     "text": None, "spans": [], "confidence": 0.0, "n_blocks": 0,
                     "warnings": [], "error": "empty payload", "flat_text": "",
                 }
             elif kind == "pdf":
-                rec = extract_pdf(payload)
+                if oversize:
+                    # a truncated PDF has no usable trailer/objects — route
+                    # to the error lane rather than stall a block parsing it
+                    rec = {
+                        "text": None, "spans": [], "confidence": 0.0,
+                        "n_blocks": 0, "warnings": [],
+                        "error": f"oversize pdf payload ({len(payload)} bytes)",
+                        "flat_text": "",
+                    }
+                else:
+                    rec = extract_pdf(payload)
             else:
-                rec = extract_html(payload)
+                if oversize:
+                    rec = extract_html(payload[: self.max_payload_bytes])
+                    rec["warnings"] = list(rec["warnings"]) + [
+                        f"oversize payload truncated to {self.max_payload_bytes} bytes"
+                    ]
+                else:
+                    rec = extract_html(payload)
             if rec["error"] is not None:
                 kind = "error"
             out["kind"].append(kind)

@@ -1,0 +1,108 @@
+"""Pipeline-level scale semantics: oversize lane, host-hash repartition,
+payload dedup, manifest lineage."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from ai_pdf_extraction_ray.sources.corpus import build_pdf
+from ai_pdf_extraction_ray.stages.extract import DocumentExtractor
+from ai_pdf_extraction_ray.state.manifest import lineage_id, manifest_is_valid, write_manifest_atomic
+
+
+def _pages(rows):
+    return pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "html": pa.array([r[1] for r in rows], pa.binary()),
+    })
+
+
+class TestOversizeLane:
+    def test_giant_html_truncated_not_stalled(self):
+        # content inside the budget; megabytes of trailing boilerplate beyond it
+        body = "<html><body><article><p>" + "word " * 30 + "</p></article>"
+        filler = "<div class='junk'>" + ("x" * 1024 + " ") * 2048 + "</div></body></html>"
+        payload = (body + filler).encode()
+        ex = DocumentExtractor(max_payload_bytes=len(body) + 100)
+        out = ex(_pages([("https://h/x", payload)])).to_pylist()[0]
+        assert out["error"] is None
+        assert out["text"].startswith("word word")
+        assert any("oversize payload truncated" in w for w in out["warnings"])
+
+    def test_giant_pdf_rejected_as_error_row(self):
+        payload = build_pdf(1, "word " * 50) + b"\x00" * 1024
+        ex = DocumentExtractor(max_payload_bytes=100)
+        out = ex(_pages([("https://h/y", payload)])).to_pylist()[0]
+        assert out["kind"] == "error"
+        assert "oversize pdf payload" in out["error"]
+
+    def test_normal_payload_unaffected(self):
+        payload = b"<html><body><main><p>tiny page content here</p></main></body></html>"
+        out = DocumentExtractor()(_pages([("https://h/z", payload)])).to_pylist()[0]
+        assert out["text"] == "tiny page content here"
+        assert out["warnings"] == []
+
+
+class TestSchemaJsonConstructor:
+    def test_accepts_json_string(self):
+        import json
+
+        from ai_pdf_extraction_ray.pipelines.queries import INVOICE_SCHEMA
+
+        ex = DocumentExtractor(json.dumps(INVOICE_SCHEMA.to_dict()))
+        assert ex.schema.name == "invoice"
+        assert "invoice_number" in ex.patterns
+
+
+class TestHostRepartition:
+    def test_skewed_host_spread(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from ai_pdf_extraction_ray.pipelines.extract_pipeline import repartition_by_host
+
+        # 60% of rows on one giant host (the corpus skew shape)
+        hosts = ["h0.example.com"] * 60 + [f"h{i}.example.com" for i in range(40)]
+        ds = rd.from_pandas(pd.DataFrame({"host": hosts, "v": range(100)}))
+        out = repartition_by_host(ds, 8)
+        df = out.to_pandas()
+        assert len(df) == 100  # no rows lost
+        assert df.host_bucket.nunique() > 1  # spread across buckets
+        # all rows of one host share a bucket (co-location invariant)
+        assert df[df.host == "h0.example.com"].host_bucket.nunique() == 1
+
+
+class TestPayloadDedup:
+    def test_duplicate_payloads_one_survivor(self, ray_session):
+        import ray.data as rd
+
+        from ai_pdf_extraction_ray.stages.dedup import dedup_extractions_by_payload
+
+        payload = b"<html><body><main><p>shared content here</p></main></body></html>"
+        rows = [(f"https://h{i}/p", payload) for i in range(5)]
+        rows.append(("https://h9/q", b"<html><body><main><p>unique content</p></main></body></html>"))
+        ext = DocumentExtractor()(_pages(rows))
+        survivors = dedup_extractions_by_payload(rd.from_arrow(ext)).to_pandas()
+        assert len(survivors) == 2
+        # min-url survivor for the duplicated payload
+        assert "https://h0/p" in set(survivors.url)
+
+
+class TestManifestLineage:
+    def test_lineage_changes_with_inputs(self, tmp_path):
+        base = lineage_id("shard-1", "s", "1.0")
+        assert base == lineage_id("shard-1", "s", "1.0")  # stable
+        assert base != lineage_id("shard-2", "s", "1.0")
+        assert base != lineage_id("shard-1", "s", "2.0")
+        assert base != lineage_id("shard-1", "s", "1.0", extractor_version="9.9.9")
+
+    def test_manifest_atomicity_and_validation(self, tmp_path):
+        d = str(tmp_path / "shard=x")
+        assert not manifest_is_valid(d, "abc")
+        write_manifest_atomic(d, {"lineage": "abc", "rows": 10})
+        assert manifest_is_valid(d, "abc")
+        assert not manifest_is_valid(d, "other")
+        # missing rows key -> invalid
+        write_manifest_atomic(d, {"lineage": "abc"})
+        assert not manifest_is_valid(d, "abc")
