@@ -200,3 +200,56 @@ class TestCorpusRoundTrip:
             assert fields["invoice_number"] == expected["Invoice Number"]
             assert fields["total_amount"] == expected["Total Amount"]
             assert confs["invoice_number"] == 0.95
+
+
+class TestFastScannerEquivalence:
+    """The fast regex scanner must match the stdlib-parser baseline on
+    every page shape — corpus + adversarial."""
+
+    ADVERSARIAL = [
+        "<html><body><article><p>A &amp; B &lt;x&gt; &#65; &unknown; C</p></article></body></html>",
+        "<body><script>if (a < b && c > d) { x = '<p>not text</p>'; }</script><main><p>real</p></main></body>",
+        "<body><style>p > a { color: red }</style><article><p>styled</p></article></body>",
+        "<body><!-- <p>commented out</p> --><main><p>kept</p></main></body>",
+        "<body><div data-x='a > b' title=\"c > d\"><p>attr gt</p></div></body>",
+        "<body><main><p>void<br>tags<hr/>here<img src='x.png'></p></main></body>",
+        "<body><main><p>unclosed paragraph<p>second</main></body>",
+        "<body><main><p>stray < bracket and 1 < 2 in text</p></main></body>",
+        "<body><nav><a href='/'>Home</a></nav><MAIN><P>upper case tags</P></MAIN></body>",
+        "<body><main><p>self-closed <span/>spans</p></main></body>",
+        "<body><textarea><p>not parsed</p></textarea><main><p>after textarea</p></main></body>",
+        "<body><main><p>nested <b>bold <i>italic</i></b> inline</p></main></body>",
+        "<body><ul><li><a href='/1'>one</a></li><li>two words here</li></ul><article><p>art</p></article></body>",
+        "<!DOCTYPE html><?xml version='1.0'?><body><main><p>decls</p></main></body>",
+        "<body><main><p>entity edge &amp;amp; double</p></main></body>",
+        "<body><div></div><main><p>empty div before</p></main><div>   </div></body>",
+        "plain text with no tags at all",
+        "",
+    ]
+
+    def _key(self, blocks):
+        return [(b.text, b.link_chars, b.words, b.in_content, b.in_boiler) for b in blocks]
+
+    @pytest.mark.parametrize("html", ADVERSARIAL)
+    def test_adversarial_equivalence(self, html):
+        from ai_pdf_extraction_ray.stages.html_extract import (
+            parse_blocks,
+            parse_blocks_stdlib,
+        )
+
+        assert self._key(parse_blocks(html)) == self._key(parse_blocks_stdlib(html))
+
+    def test_corpus_equivalence_sample(self):
+        from ai_pdf_extraction_ray.stages.html_extract import (
+            parse_blocks,
+            parse_blocks_stdlib,
+        )
+
+        pages = synthesize_pages_table(
+            pq.read_table(f"{SF_SMOKE}/documents.parquet").slice(0, 120)
+        )
+        for i in range(pages.num_rows):
+            payload = pages.column("html")[i].as_py()
+            if payload.startswith(b"%PDF"):
+                continue
+            assert self._key(parse_blocks(payload)) == self._key(parse_blocks_stdlib(payload))
