@@ -212,6 +212,15 @@ def _scramble(n: int) -> list[int]:
     return list(reversed(order))
 
 
+def _page_content(lines: list[str]) -> bytes:
+    ops = ["BT", f"/F1 {FONT_SIZE} Tf"]
+    for i in _scramble(len(lines)):
+        y = TOP_Y - i * LEADING
+        ops.append(f"1 0 0 1 {MARGIN_X} {y} Tm ({_pdf_escape(lines[i])}) Tj")
+    ops.append("ET")
+    return "\n".join(ops).encode("latin-1", errors="replace")
+
+
 def build_pdf(doc_id: int, text: str) -> bytes:
     """Minimal valid PDF: one page, Flate content stream, scrambled line order.
 
@@ -221,22 +230,37 @@ def build_pdf(doc_id: int, text: str) -> bytes:
     lines = _wrap_words(text)
     if " ".join(lines) != text:
         lines = [text]
-    ops = ["BT", f"/F1 {FONT_SIZE} Tf"]
-    for i in _scramble(len(lines)):
-        y = TOP_Y - i * LEADING
-        ops.append(f"1 0 0 1 {MARGIN_X} {y} Tm ({_pdf_escape(lines[i])}) Tj")
-    ops.append("ET")
-    content = "\n".join(ops).encode("latin-1", errors="replace")
-    stream = zlib.compress(content)
+    return build_pdf_pages([lines], doc_id)
 
-    objects = [
+
+def build_multipage_pdf(doc_id: int, page_paragraphs: list[str]) -> bytes:
+    """One paragraph per page; expected extracted text =
+    ``"\\n\\n".join(page_paragraphs)`` (per-page assembly contract)."""
+    return build_pdf_pages([_wrap_words(p) or [p] for p in page_paragraphs], doc_id)
+
+
+def build_pdf_pages(pages_lines: list[list[str]], doc_id: int = 0) -> bytes:
+    n_pages = len(pages_lines)
+    # object layout: 1 catalog, 2 pages, then per page: page obj + content obj
+    page_obj_ids = [3 + 2 * i for i in range(n_pages)]
+    kids = " ".join(f"{pid} 0 R" for pid in page_obj_ids)
+    objects: list[bytes] = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
-        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
-        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
-        b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream" % (len(stream), stream),
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids.encode(), n_pages),
     ]
+    font_obj_id = 3 + 2 * n_pages
+    for i, lines in enumerate(pages_lines):
+        stream = zlib.compress(_page_content(lines))
+        objects.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents %d 0 R /Resources << /Font << /F1 %d 0 R >> >> >>"
+            % (page_obj_ids[i] + 1, font_obj_id)
+        )
+        objects.append(
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+            % (len(stream), stream)
+        )
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     out = bytearray(b"%PDF-1.4\n")
     offsets = []
     for i, obj in enumerate(objects, start=1):
@@ -294,3 +318,27 @@ def synthesize_pages_batch(batch: pa.Table, include_doc_id: bool = True) -> pa.T
 def synthesize_pages_table(documents: pa.Table, include_doc_id: bool = True) -> pa.Table:
     """Whole-table convenience wrapper (tests / small fixtures)."""
     return synthesize_pages_batch(documents, include_doc_id=include_doc_id)
+
+
+def edge_rows_table(include_doc_id: bool = True) -> pa.Table:
+    """Deterministic failure/edge rows (FIXTURES.md §5/§6, test-only — the
+    driver oracle corpus stays clean): empty payload, non-HTML garbage,
+    truncated PDF, and a duplicate-payload pair under two urls."""
+    dup_payload = build_html(10_000, "shared duplicate content body", "en", 29)
+    rows = [
+        ("https://edge.example.com/empty", b"", None),
+        ("https://edge.example.com/garbage", b"\x00\xfe\x9cnot markup\xff", None),
+        ("https://edge.example.com/truncated-pdf", build_pdf(1, "cut off")[:40], None),
+        ("https://edge.example.com/dup-a", dup_payload, "shared duplicate content body"),
+        ("https://edge.example.com/dup-b", dup_payload, "shared duplicate content body"),
+    ]
+    cols = {
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "warc_ts": pa.array([_EPOCH] * len(rows), pa.timestamp("us")),
+        "html": pa.array([r[1] for r in rows], pa.binary()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+    }
+    if include_doc_id:
+        cols["doc_id"] = pa.array(list(range(10_001, 10_001 + len(rows))), pa.int64())
+    return pa.table(cols)

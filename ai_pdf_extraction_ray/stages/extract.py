@@ -33,7 +33,10 @@ from ..schema import (
 )
 from ..functions.scalars import normalize_number, parse_currency, parse_date
 from .html_extract import compile_field_patterns, extract_fields, extract_html
-from .pdf_extract import extract_pdf
+from .pdf_extract import extract_pdf, page_count
+
+CHUNK_THRESHOLD_PAGES = 10  # reference: single call <= 10 pages (extraction.py:493-513)
+CHUNK_SIZE_PAGES = 5        # reference: chunks of 5 (extraction.py:524)
 
 
 def sniff_kind(payload: bytes | None) -> str:
@@ -107,6 +110,57 @@ class DocumentExtractor:
         self.patterns = compile_field_patterns(self.schema) if self.schema else {}
         self.max_payload_bytes = max_payload_bytes
 
+    def _extract_pdf_maybe_chunked(self, payload: bytes) -> dict:
+        """Reference chunking semantics (extraction.py:493-544): documents
+        over CHUNK_THRESHOLD_PAGES pages are processed in CHUNK_SIZE_PAGES
+        chunks inside this one map task (a chunk = a page range), and the
+        chunk records are reduced with the A4 merge rules. The chunk split
+        stays INSIDE the task — a row never blocks other rows because the
+        streaming executor schedules whole batches, and the merge preserves
+        chunk order (first-non-null scalar semantics)."""
+        n_pages = page_count(payload)
+        if n_pages <= CHUNK_THRESHOLD_PAGES:
+            rec = extract_pdf(payload)
+            rec["n_chunks"] = 1
+            return rec
+        chunk_texts: list[str] = []
+        chunk_flats: list[str] = []
+        warnings: list[str] = []
+        error = None
+        for start in range(1, n_pages + 1, CHUNK_SIZE_PAGES):
+            rec = extract_pdf(
+                payload, first_page=start,
+                last_page=min(n_pages, start + CHUNK_SIZE_PAGES - 1),
+            )
+            if rec["error"] is not None:
+                error = rec["error"]
+                break
+            if rec["text"]:
+                chunk_texts.append(rec["text"])
+                chunk_flats.append(rec["flat_text"])
+        if error is not None:
+            return {
+                "text": None, "spans": [], "confidence": 0.0, "n_blocks": 0,
+                "warnings": warnings, "error": error, "flat_text": "",
+                "n_chunks": 0,
+            }
+        text = "\n\n".join(chunk_texts)
+        spans = []
+        pos = 0
+        for i, part in enumerate(text.split("\n\n")) if text else []:
+            spans.append({"field": f"block_{i}", "start": pos, "end": pos + len(part)})
+            pos += len(part) + 2
+        from ..schema import round_confidence as _rc
+
+        return {
+            "text": text, "spans": spans,
+            "confidence": _rc(0.9 if text else 0.0),
+            "n_blocks": (text.count("\n\n") + 1) if text else 0,
+            "warnings": warnings, "error": None,
+            "flat_text": "\n".join(chunk_flats),
+            "n_chunks": len(chunk_texts),
+        }
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
         payloads = batch.column("html").to_pylist()
@@ -153,7 +207,7 @@ class DocumentExtractor:
                         "flat_text": "",
                     }
                 else:
-                    rec = extract_pdf(payload)
+                    rec = self._extract_pdf_maybe_chunked(payload)
             else:
                 if oversize:
                     rec = extract_html(payload[: self.max_payload_bytes])

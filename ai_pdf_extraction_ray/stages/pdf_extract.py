@@ -332,19 +332,36 @@ def _assemble(runs: list[Run]) -> str:
 LEADING_FALLBACK = 14.0
 
 
-def extract_pdf(payload: bytes) -> dict:
-    """One PDF payload -> extraction record (failure-is-data, never raises)."""
+def extract_pdf(
+    payload: bytes,
+    first_page: int | None = None,
+    last_page: int | None = None,
+) -> dict:
+    """One PDF payload -> extraction record (failure-is-data, never raises).
+
+    Pages are assembled independently (each content stream is one page) and
+    joined with "\\n\\n" in document order — y coordinates are per-page, so
+    cross-page interleaving by y would scramble reading order.
+    ``first_page``/``last_page`` (1-based, inclusive) mirror the reference's
+    page-range semantics (pdf_service.py:40-107 convert range args).
+    """
     try:
         if not payload:
             return _error_record("empty payload")
         if not payload.startswith(b"%PDF"):
             return _error_record("not a PDF (missing %PDF magic)")
-        runs: list[Run] = []
-        for stream in _decode_streams(payload):
-            if b"BT" not in stream:
-                continue
-            runs.extend(_interpret(stream, order_base=len(runs)))
-        text = _assemble(runs)
+        page_streams = [s for s in _decode_streams(payload) if b"BT" in s]
+        lo = 1 if first_page is None else max(1, first_page)
+        hi = len(page_streams) if last_page is None else min(len(page_streams), last_page)
+        page_texts: list[str] = []
+        order_base = 0
+        for stream in page_streams[lo - 1:hi]:
+            runs = _interpret(stream, order_base=order_base)
+            order_base += len(runs)
+            t = _assemble(runs)
+            if t:
+                page_texts.append(t)
+        text = "\n\n".join(page_texts)
         if not text:
             return {
                 "text": "", "spans": [], "confidence": 0.0, "n_blocks": 0,

@@ -106,3 +106,59 @@ class TestManifestLineage:
         # missing rows key -> invalid
         write_manifest_atomic(d, {"lineage": "abc"})
         assert not manifest_is_valid(d, "abc")
+
+
+class TestFailureRows:
+    """FIXTURES.md §6: failures are rows, never task crashes — through the
+    real Ray pipeline."""
+
+    def test_edge_rows_through_pipeline(self, ray_session):
+        import ray.data as rd
+
+        from ai_pdf_extraction_ray.sources.corpus import edge_rows_table
+        from ai_pdf_extraction_ray.pipelines.extract_pipeline import run_extraction
+
+        ds = rd.from_arrow(edge_rows_table())
+        out = run_extraction(ds, concurrency=2).to_pandas().set_index("url")
+        assert len(out) == 5  # every input row came out
+
+        assert out.loc["https://edge.example.com/empty", "error"] == "empty payload"
+        assert out.loc["https://edge.example.com/empty", "confidence"] == 0.0
+        # garbage bytes: html lane, parse survives, no content blocks
+        g = out.loc["https://edge.example.com/garbage"]
+        assert g["error"] is None and g["confidence"] == 0.0
+        t = out.loc["https://edge.example.com/truncated-pdf"]
+        assert t["kind"] in ("error", "pdf")
+        assert t["text"] in (None, "")  # never a crash
+        # duplicate payloads share a sha256 -> dedup-able downstream
+        assert (
+            out.loc["https://edge.example.com/dup-a", "payload_sha256"]
+            == out.loc["https://edge.example.com/dup-b", "payload_sha256"]
+        )
+        assert out.loc["https://edge.example.com/dup-a", "text"] == "shared duplicate content body"
+
+
+class TestChunkedPdfPath:
+    """Reference chunking semantics: >10 pages -> chunks of 5, merged
+    in chunk order (extraction.py:493-544)."""
+
+    def test_twelve_page_pdf_chunked_equals_whole(self):
+        from ai_pdf_extraction_ray.sources.corpus import build_multipage_pdf
+        from ai_pdf_extraction_ray.stages.pdf_extract import extract_pdf, page_count
+
+        paras = [f"page {i} paragraph with distinct words here" for i in range(12)]
+        pdf = build_multipage_pdf(5, paras)
+        assert page_count(pdf) == 12
+
+        ex = DocumentExtractor()
+        out = ex(_pages([("https://h/big", pdf)])).to_pylist()[0]
+        # chunked path must reproduce the whole-document text exactly
+        assert out["text"] == extract_pdf(pdf)["text"] == "\n\n".join(paras)
+        assert out["error"] is None
+
+    def test_small_pdf_single_chunk(self):
+        from ai_pdf_extraction_ray.sources.corpus import build_multipage_pdf
+
+        pdf = build_multipage_pdf(5, ["one page only"])
+        out = DocumentExtractor()(_pages([("https://h/small", pdf)])).to_pylist()[0]
+        assert out["text"] == "one page only"
