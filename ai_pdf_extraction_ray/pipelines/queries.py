@@ -668,6 +668,53 @@ def q_distinct_event_types(sf_dir: str) -> Dataset:
     return ds.groupby("user_id").map_groups(distinct, batch_format="pandas")
 
 
+def q_sliding_windows(sf_dir: str) -> Dataset:
+    """Sliding event-time windows: 3-hour windows advancing hourly — each
+    event contributes to 3 windows (explode inside map_batches, partial
+    combine, small groupby). SQL twin = cross join with offsets 0..2."""
+    ds = _events(sf_dir, ["ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hours = pc.floor_temporal(batch.column("ts"), unit="hour")
+        frames = []
+        for k in range(3):
+            shifted = pc.strftime(
+                pc.subtract(hours, pa.scalar(k * 3_600_000_000, pa.duration("us"))),
+                format="%Y-%m-%d %H:00",
+            )
+            frames.append(pa.table({
+                "window_start": shifted,
+                "value": batch.column("value"),
+            }))
+        t = pa.concat_tables(frames)
+        return t.group_by("window_start").aggregate([("value", "sum"), ("value", "count")])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("value_sum", alias_name="sv"),
+                   Sum("value_count", alias_name="n_events"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table({
+            "window_start": b.column("window_start"),
+            "n_events": b.column("n_events").cast(pa.int64()),
+            "sum_value": _pc_round(b.column("sv"), 2),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_approx_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """HLL sketch: approximate distinct users per event type (rows-only —
+    estimate accuracy vs exact is pinned by tests at <2% for this
+    cardinality range)."""
+    from ..stages.sketches import approx_distinct
+
+    ds = _events(sf_dir, ["event_type", "user_id"])
+    return approx_distinct(ds, "event_type", "user_id")
+
+
 def q_media_image_features(sf_dir: str) -> Dataset:
     """Multimodal: image decode + feature extraction over opaque binary
     payloads (deterministic SyntheticMedia codec; real codecs stubbed —
@@ -989,6 +1036,17 @@ QUERIES: dict[str, dict] = {
             FROM events GROUP BY user_id
         """,
     },
+    "sliding_windows": {
+        "fn": q_sliding_windows,
+        "sql": """
+            SELECT strftime(date_trunc('hour', ts) - to_hours(k), '%Y-%m-%d %H:00') AS window_start,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(round((sum(value)) * 100) AS BIGINT) / 100.0 AS sum_value
+            FROM events CROSS JOIN (VALUES (0), (1), (2)) offsets(k)
+            GROUP BY 1
+        """,
+    },
+    "approx_distinct_users": {"fn": q_approx_distinct_users, "sql": None},
     "media_image_features": {"fn": q_media_image_features, "sql": None},
     "media_audio_video": {"fn": q_media_audio_video, "sql": None},
     "repair_completion": {

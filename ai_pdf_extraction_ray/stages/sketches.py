@@ -1,0 +1,104 @@
+"""Mergeable sketches: HyperLogLog approximate distinct counting.
+
+The canonical aggregate-at-scale pattern (ray_guide / public HLL paper by
+Flajolet et al.): each ``map_batches`` call emits ONE serialized sketch per
+group key per batch; a tiny groupby then merges sketches (elementwise
+register max) — the shuffle carries 2^p-byte sketches, never values.
+
+Deterministic hashing (md5-derived 64-bit), p=12 (4096 registers,
+~1.6% standard error).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+P = 12
+M = 1 << P  # registers
+_ALPHA = 0.7213 / (1 + 1.079 / M)
+
+
+def _hash64(values: list) -> np.ndarray:
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        out[i] = int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "little")
+    return out
+
+
+def hll_add(registers: np.ndarray, values: list) -> None:
+    """Fold values into a register array (uint8[M]) in place."""
+    h = _hash64(values)
+    idx = (h >> np.uint64(64 - P)).astype(np.int64)
+    rest = h << np.uint64(P)  # remaining 64-P bits, left-aligned
+    # rank = leading zeros of rest + 1 (capped)
+    ranks = np.empty(len(h), dtype=np.uint8)
+    for i, r in enumerate(rest):
+        r = int(r)
+        if r == 0:
+            ranks[i] = 64 - P + 1
+        else:
+            ranks[i] = (64 - r.bit_length()) + 1
+    np.maximum.at(registers, idx, ranks)
+
+
+def hll_estimate(registers: np.ndarray) -> float:
+    est = _ALPHA * M * M / np.sum(2.0 ** (-registers.astype(np.float64)))
+    zeros = int((registers == 0).sum())
+    if est <= 2.5 * M and zeros:
+        est = M * np.log(M / zeros)  # small-range correction
+    return float(est)
+
+
+def hll_merge(sketches: list[bytes]) -> np.ndarray:
+    regs = np.zeros(M, dtype=np.uint8)
+    for s in sketches:
+        regs = np.maximum(regs, np.frombuffer(s, dtype=np.uint8))
+    return regs
+
+
+def approx_distinct(
+    ds: Dataset, key_col: str, value_col: str
+) -> pd.DataFrame:
+    """Per-key approximate distinct count of ``value_col``.
+
+    Stage 1 (map_batches): one sketch per key per batch.
+    Stage 2 (groupby key): merge sketches, estimate.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        vals = batch.column(value_col).to_pylist()
+        by_key: dict = {}
+        for k, v in zip(keys, vals):
+            by_key.setdefault(k, []).append(v)
+        out_k, out_s = [], []
+        for k, vs in by_key.items():
+            regs = np.zeros(M, dtype=np.uint8)
+            hll_add(regs, vs)
+            out_k.append(k)
+            out_s.append(regs.tobytes())
+        return pa.table({
+            key_col: pa.array(out_k),
+            "sketch": pa.array(out_s, pa.binary()),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        regs = hll_merge(list(g["sketch"]))
+        return pd.DataFrame({
+            key_col: [g[key_col].iloc[0]],
+            "approx_distinct": [int(round(hll_estimate(regs)))],
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+        .sort_values(key_col)
+        .reset_index(drop=True)
+    )

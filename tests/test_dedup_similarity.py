@@ -143,3 +143,47 @@ class TestSimilarity:
         assert approx == exact
         some = set(knn_ivf(SF, X[0], k=10, nlist=8, nprobe=3, exclude={0}).vec_id)
         assert len(some & exact) >= 5  # partial probe keeps decent recall
+
+
+class TestHyperLogLog:
+    def test_estimate_accuracy_and_merge(self):
+        import numpy as np
+
+        from ai_pdf_extraction_ray.stages.sketches import (
+            M,
+            hll_add,
+            hll_estimate,
+            hll_merge,
+        )
+
+        for true_n in (50, 500, 5000):
+            regs = np.zeros(M, dtype=np.uint8)
+            hll_add(regs, [f"v{i}" for i in range(true_n)])
+            est = hll_estimate(regs)
+            assert abs(est - true_n) / true_n < 0.05, (true_n, est)
+
+        # merge == union: two half-sketches merge to the full estimate
+        a = np.zeros(M, dtype=np.uint8)
+        b = np.zeros(M, dtype=np.uint8)
+        hll_add(a, [f"v{i}" for i in range(0, 1000)])
+        hll_add(b, [f"v{i}" for i in range(500, 1500)])
+        merged = hll_merge([a.tobytes(), b.tobytes()])
+        est = hll_estimate(merged)
+        assert abs(est - 1500) / 1500 < 0.05
+
+    def test_approx_vs_exact_on_events(self, ray_session):
+        import ray.data as rd
+
+        from ai_pdf_extraction_ray.stages.sketches import approx_distinct
+
+        ds = rd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                             columns=["event_type", "user_id"])
+        approx = approx_distinct(ds, "event_type", "user_id").set_index("event_type")
+        exact = (
+            rd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                            columns=["event_type", "user_id"])
+            .to_pandas().groupby("event_type").user_id.nunique()
+        )
+        for et, n in exact.items():
+            est = approx.loc[et, "approx_distinct"]
+            assert abs(est - n) / n < 0.05, (et, n, est)
