@@ -668,6 +668,37 @@ def q_distinct_event_types(sf_dir: str) -> Dataset:
     return ds.groupby("user_id").map_groups(distinct, batch_format="pandas")
 
 
+def q_pages_per_host(sf_dir: str) -> Dataset:
+    """Host-keyed aggregate over extraction output — the url-prefix skew
+    path: one host owns ~1/3 of rows, so rows are first co-located with the
+    host-hash shuffle (`repartition_by_host`), then aggregated per host
+    with in-partition combines."""
+    from .extract_pipeline import repartition_by_host
+
+    ext = run_extraction(pages_dataset(sf_dir)).select_columns(["host", "text"])
+    ext = repartition_by_host(ext, 8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        chars = pc.utf8_length(batch.column("text"))
+        t = pa.table({"host": batch.column("host"), "chars": chars})
+        return t.group_by("host").aggregate([("chars", "sum"), ("chars", "count")])
+
+    agg = (
+        ext.map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("chars_sum", alias_name="total_chars"),
+                   Sum("chars_count", alias_name="n_pages"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table({
+            "host": b.column("host"),
+            "n_pages": b.column("n_pages").cast(pa.int64()),
+            "total_chars": b.column("total_chars").cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def q_sliding_windows(sf_dir: str) -> Dataset:
     """Sliding event-time windows: 3-hour windows advancing hourly — each
     event contributes to 3 windows (explode inside map_batches, partial
@@ -1034,6 +1065,16 @@ QUERIES: dict[str, dict] = {
         "sql": """
             SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
             FROM events GROUP BY user_id
+        """,
+    },
+    "pages_per_host": {
+        "fn": q_pages_per_host,
+        "sql": """
+            SELECT 'h' || CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 41 END AS VARCHAR)
+                       || '.example.com' AS host,
+                   CAST(count(*) AS BIGINT) AS n_pages,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY 1
         """,
     },
     "sliding_windows": {
