@@ -24,6 +24,6 @@ Nothing here calls ``ray.init()``; sessions are owned by the caller
 
 __version__ = "0.1.0"
 
-EXTRACTOR_VERSION = "1.0.0"
+EXTRACTOR_VERSION = "1.1.0"
 """Version string folded into checkpoint-manifest lineage ids; bump on any
 change to extractor semantics (golden fixtures must be regenerated)."""

@@ -52,6 +52,7 @@ INVOICE_SCHEMA = SchemaDefinition(
         FieldDefinition("tax_amount", FieldType.CURRENCY),
         FieldDefinition("total_amount", FieldType.CURRENCY, required=True),
         FieldDefinition("is_paid", FieldType.BOOLEAN),
+        FieldDefinition("line_items", FieldType.ARRAY),
     ],
     validation_rules=["total_amount == subtotal + tax_amount"],
 )
@@ -668,6 +669,42 @@ def q_distinct_event_types(sf_dir: str) -> Dataset:
     return ds.groupby("user_id").map_groups(distinct, batch_format="pandas")
 
 
+def q_line_items(sf_dir: str) -> Dataset:
+    """ARRAY-field extraction: html line-items tables -> list<struct> rows,
+    flattened to relational form for the oracle (table parse + header
+    binding, reference FieldType.ARRAY 'table rows' models.py:18)."""
+    import json as _json
+
+    ext = run_extraction(pages_dataset(sf_dir), INVOICE_SCHEMA)
+    ext = ext.filter(expr="kind == 'html'")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out = {"url": [], "item_index": [], "description": [], "quantity": [],
+               "unit_price": [], "total": []}
+        for url, fj in zip(batch.column("url").to_pylist(),
+                           batch.column("fields_json").to_pylist()):
+            items = _json.loads(fj).get("line_items") or []
+            for i, it in enumerate(items):
+                out["url"].append(url)
+                out["item_index"].append(i)
+                out["description"].append(it.get("description"))
+                out["quantity"].append(it.get("quantity"))
+                from ..functions.scalars import parse_currency as _pcur
+
+                out["unit_price"].append(_pcur(it.get("unit_price")))
+                out["total"].append(_pcur(it.get("total")))
+        return pa.table({
+            "url": pa.array(out["url"], pa.string()),
+            "item_index": pa.array(out["item_index"], pa.int64()),
+            "description": pa.array(out["description"], pa.string()),
+            "quantity": pa.array(out["quantity"], pa.int64()),
+            "unit_price": pa.array(out["unit_price"], pa.float64()),
+            "total": pa.array(out["total"], pa.float64()),
+        })
+
+    return ext.map_batches(explode, batch_format="pyarrow")
+
+
 def q_pages_per_host(sf_dir: str) -> Dataset:
     """Host-keyed aggregate over extraction output — the url-prefix skew
     path: one host owns ~1/3 of rows, so rows are first co-located with the
@@ -1065,6 +1102,19 @@ QUERIES: dict[str, dict] = {
         "sql": """
             SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
             FROM events GROUP BY user_id
+        """,
+    },
+    "line_items": {
+        "fn": q_line_items,
+        "sql": f"""
+            SELECT {_URL_SQL} AS url,
+                   CAST(i AS BIGINT) AS item_index,
+                   'Item ' || CAST(i AS VARCHAR) AS description,
+                   CAST(i + 1 AS BIGINT) AS quantity,
+                   (n_chars * 25 + i * 50) / 100.0 AS unit_price,
+                   ((n_chars * 25 + i * 50) * (i + 1)) / 100.0 AS total
+            FROM documents CROSS JOIN (VALUES (0), (1), (2)) s(i)
+            WHERE doc_id % 10 <> 7 AND i <= doc_id % 3
         """,
     },
     "pages_per_host": {

@@ -123,12 +123,37 @@ _FOOTER = (
 )
 
 
+def line_items_for(doc_id: int, n_chars: int) -> list[dict]:
+    """Deterministic line items (SQL-restatable): 1 + doc_id % 3 rows;
+    row i: quantity i+1, unit price cents = n_chars*25 + i*50,
+    total cents = quantity * unit_price."""
+    items = []
+    for i in range(1 + doc_id % 3):
+        unit_cents = n_chars * 25 + i * 50
+        qty = i + 1
+        items.append({
+            "description": f"Item {i}",
+            "quantity": qty,
+            "unit_price": _fmt_cents(unit_cents),
+            "total": _fmt_cents(unit_cents * qty),
+        })
+    return items
+
+
 def _meta_block(doc_id: int, n_chars: int) -> str:
     rows = "".join(
         f'<div class="row"><span class="k">{k}</span>: <span class="v">{v}</span></div>'
         for k, v in invoice_fields_for(doc_id, n_chars).items()
     )
-    return f'<div class="doc-meta">{rows}</div>'
+    items = line_items_for(doc_id, n_chars)
+    header = "<tr><th>Description</th><th>Quantity</th><th>Unit Price</th><th>Total</th></tr>"
+    body = "".join(
+        f"<tr><td>{it['description']}</td><td>{it['quantity']}</td>"
+        f"<td>{it['unit_price']}</td><td>{it['total']}</td></tr>"
+        for it in items
+    )
+    table = f'<table class="line-items">{header}{body}</table>'
+    return f'<div class="doc-meta">{rows}{table}</div>'
 
 
 def build_html(doc_id: int, text: str, lang: str, n_chars: int) -> bytes:

@@ -108,6 +108,10 @@ class DocumentExtractor:
             SchemaDefinition.from_dict(schema_dict) if schema_dict else None
         )
         self.patterns = compile_field_patterns(self.schema) if self.schema else {}
+        self.array_fields = (
+            {f.name for f in self.schema.fields if f.type == FieldType.ARRAY}
+            if self.schema else set()
+        )
         self.max_payload_bytes = max_payload_bytes
 
     def _extract_pdf_maybe_chunked(self, payload: bytes) -> dict:
@@ -226,7 +230,14 @@ class DocumentExtractor:
             warnings = list(rec["warnings"])
 
             if self.schema:
-                raw_fields, confs = extract_fields(rec.get("flat_text") or "", self.patterns)
+                html_src = (
+                    payload.decode("utf-8", errors="replace")
+                    if (self.array_fields and kind == "html") else None
+                )
+                raw_fields, confs = extract_fields(
+                    rec.get("flat_text") or "", self.patterns,
+                    html=html_src, array_fields=self.array_fields,
+                )
                 vres = validate_extracted_data(raw_fields, self.schema)
                 warnings.extend(w for w in vres.warnings if w not in warnings)
                 out["fields_json"].append(json.dumps(vres.validated_data, sort_keys=True))

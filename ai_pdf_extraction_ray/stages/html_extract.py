@@ -395,6 +395,53 @@ def _error_record(msg: str) -> dict:
 # Schema-driven field extraction over flat text
 # ---------------------------------------------------------------------------
 
+_TABLE_RE = re.compile(
+    r"<table[^>]*class=[\"']([^\"']*)[\"'][^>]*>(.*?)</table>", re.DOTALL | re.IGNORECASE
+)
+_TR_RE = re.compile(r"<tr[^>]*>(.*?)</tr>", re.DOTALL | re.IGNORECASE)
+_CELL_RE = re.compile(r"<t[hd][^>]*>(.*?)</t[hd]>", re.DOTALL | re.IGNORECASE)
+_STRIP_TAGS = re.compile(r"<[^>]+>")
+
+
+def extract_tables(html: str) -> dict[str, dict]:
+    """class name -> {"headers": [...], "rows": [[...]]} for every classed
+    table. Cells are tag-stripped + entity-decoded."""
+    out: dict[str, dict] = {}
+    for m in _TABLE_RE.finditer(html or ""):
+        cls = m.group(1).strip()
+        rows = []
+        for tr in _TR_RE.finditer(m.group(2)):
+            cells = [
+                _html_mod.unescape(_STRIP_TAGS.sub("", c.group(1))).strip()
+                for c in _CELL_RE.finditer(tr.group(1))
+            ]
+            if cells:
+                rows.append(cells)
+        if not rows or cls in out:
+            continue
+        out[cls] = {"headers": rows[0], "rows": rows[1:]}
+    return out
+
+
+def bind_array_field(field_name: str, tables: dict[str, dict]) -> list[dict] | None:
+    """ARRAY fields bind to the table whose class matches the field name
+    (``line_items`` -> class ``line-items``); rows become dicts keyed by
+    snake_cased headers. Digit-only cells become ints (type normalization
+    for quantity-like columns happens here; currency/date cells stay raw
+    strings for the validation layer's dual representation)."""
+    table = tables.get(field_name.replace("_", "-")) or tables.get(field_name)
+    if table is None:
+        return None
+    keys = [h.strip().lower().replace(" ", "_") for h in table["headers"]]
+    items: list[dict] = []
+    for row in table["rows"]:
+        item: dict = {}
+        for k, v in zip(keys, row):
+            item[k] = int(v) if v.isdigit() else v
+        items.append(item)
+    return items
+
+
 def compile_field_patterns(schema: SchemaDefinition) -> dict[str, re.Pattern]:
     """Field name -> compiled label pattern (``invoice_number`` ->
     ``Invoice Number\\s*[:=]\\s*<value to end of line>``), built ONCE per
@@ -409,17 +456,31 @@ def compile_field_patterns(schema: SchemaDefinition) -> dict[str, re.Pattern]:
     return patterns
 
 
-def extract_fields(flat_text: str, patterns: dict[str, re.Pattern]) -> tuple[dict, dict]:
-    """Label-match each schema field; returns (raw_fields, field_confidences).
+def extract_fields(
+    flat_text: str,
+    patterns: dict[str, re.Pattern],
+    *,
+    html: str | None = None,
+    array_fields: set[str] | None = None,
+) -> tuple[dict, dict]:
+    """Label-match each scalar schema field; bind ARRAY fields from classed
+    html tables. Returns (raw_fields, field_confidences).
 
-    Missing label => field absent (validation trusts missing keys).
+    Missing label/table => field absent (validation trusts missing keys).
     Confidence is the deterministic analogue of the reference's per-field
-    scores: 0.95 for a label match (reference default confidence shape,
-    services/ai/extraction.py:89-125 uses 0.75 fallback / logprob mean).
+    scores: 0.95 for a label/table match (reference default confidence
+    shape, services/ai/extraction.py:89-125 uses 0.75 fallback).
     """
-    data: dict[str, str] = {}
+    data: dict = {}
     conf: dict[str, float] = {}
+    tables = extract_tables(html) if (html and array_fields) else {}
     for name, pat in patterns.items():
+        if array_fields and name in array_fields:
+            items = bind_array_field(name, tables)
+            if items is not None:
+                data[name] = items
+                conf[name] = 0.95
+            continue
         m = pat.search(flat_text)
         if m:
             data[name] = m.group(1).strip()

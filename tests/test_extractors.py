@@ -253,3 +253,47 @@ class TestFastScannerEquivalence:
             if payload.startswith(b"%PDF"):
                 continue
             assert self._key(parse_blocks(payload)) == self._key(parse_blocks_stdlib(payload))
+
+
+class TestArrayTableExtraction:
+    def test_extract_tables_and_binding(self):
+        from ai_pdf_extraction_ray.stages.html_extract import (
+            bind_array_field,
+            extract_tables,
+        )
+
+        html = (
+            '<table class="line-items">'
+            "<tr><th>Description</th><th>Quantity</th><th>Unit Price</th></tr>"
+            "<tr><td>Item A &amp; B</td><td>2</td><td>$5.00</td></tr>"
+            "<tr><td><b>Item C</b></td><td>10</td><td>$1.25</td></tr></table>"
+        )
+        tables = extract_tables(html)
+        assert tables["line-items"]["headers"] == ["Description", "Quantity", "Unit Price"]
+        items = bind_array_field("line_items", tables)
+        assert items == [
+            {"description": "Item A & B", "quantity": 2, "unit_price": "$5.00"},
+            {"description": "Item C", "quantity": 10, "unit_price": "$1.25"},
+        ]
+        assert bind_array_field("missing_table", tables) is None
+
+    def test_corpus_line_items_exact(self, pages=None):
+        import json
+
+        from ai_pdf_extraction_ray.sources.corpus import line_items_for
+        from ai_pdf_extraction_ray.stages.extract import DocumentExtractor
+        from ai_pdf_extraction_ray.pipelines.queries import INVOICE_SCHEMA
+
+        docs = pq.read_table(f"{SF_SMOKE}/documents.parquet").slice(0, 30)
+        table = synthesize_pages_table(docs)
+        out = DocumentExtractor(INVOICE_SCHEMA.to_dict())(table).to_pylist()
+        docs_rows = {r["doc_id"]: r for r in docs.to_pylist()}
+        checked = 0
+        for row in out:
+            if row["kind"] != "html":
+                continue
+            d = int(row["url"].rsplit("/", 1)[1])
+            expected = line_items_for(d, len(docs_rows[d]["text"]))
+            assert json.loads(row["fields_json"])["line_items"] == expected
+            checked += 1
+        assert checked > 20
