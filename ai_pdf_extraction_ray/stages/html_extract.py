@@ -29,7 +29,10 @@ Boilerpipe/Readability literature — see PAPERS.md):
 
 Determinism: pure function of the input bytes — no dict-order dependence
 (blocks keep document order), no randomness, fixed tie-breaking. This is the
-byte-identity contract the golden fixtures pin.
+byte-identity contract the golden fixtures pin. Canonicalization boundary:
+block text is ``str.strip()``-ed (unicode whitespace), so content whose
+bytes begin/end with unicode whitespace round-trips modulo that strip — a
+block consisting only of whitespace is dropped entirely.
 
 Schema-driven **field** extraction runs over the *full* flat text (content +
 boilerplate): each schema field compiles to a label pattern
