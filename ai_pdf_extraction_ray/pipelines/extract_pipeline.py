@@ -172,8 +172,9 @@ def extract_job(
     import os
 
     manifests: list[dict[str, Any]] = []
-    for path in input_files:
-        shard_name = os.path.splitext(os.path.basename(path))[0]
+    for idx, path in enumerate(input_files):
+        # index prefix: input files may share basenames across directories
+        shard_name = f"{idx:05d}-{os.path.splitext(os.path.basename(path))[0]}"
         shard_dir = os.path.join(out_dir, f"shard={shard_name}")
         lineage = lineage_id(
             path,

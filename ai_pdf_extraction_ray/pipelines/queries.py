@@ -669,6 +669,28 @@ def q_distinct_event_types(sf_dir: str) -> Dataset:
     return ds.groupby("user_id").map_groups(distinct, batch_format="pandas")
 
 
+def q_run_report(sf_dir: str) -> pd.DataFrame:
+    """Manifest-backed run reporting — the engine's replacement for the
+    reference's status/history polling (routers/batches.py:430-542 recomputes
+    progress by scanning rows; here counters are cheap manifest reads,
+    A5/A6 + O1-over-manifests). Runs the resumable job (idempotent: a valid
+    manifest short-circuits) then reports per-shard counters."""
+    import hashlib as _hashlib
+
+    from ..state.manifest import read_manifest
+    from .extract_pipeline import extract_job
+
+    out_dir = f"/tmp/ray_extract_run_{_hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    extract_job([f"{sf_dir}/documents.parquet"], out_dir, INVOICE_SCHEMA)
+    m = read_manifest(f"{out_dir}/shard=00000-documents")
+    return pd.DataFrame({
+        "shard": [m["shard"]],
+        "n_rows": pd.array([m["rows"]], dtype="int64"),
+        "n_success": pd.array([m["successful_documents"]], dtype="int64"),
+        "n_failed": pd.array([m["failed_documents"]], dtype="int64"),
+    })
+
+
 def q_line_items(sf_dir: str) -> Dataset:
     """ARRAY-field extraction: html line-items tables -> list<struct> rows,
     flattened to relational form for the oracle (table parse + header
@@ -1102,6 +1124,16 @@ QUERIES: dict[str, dict] = {
         "sql": """
             SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
             FROM events GROUP BY user_id
+        """,
+    },
+    "run_report": {
+        "fn": q_run_report,
+        "sql": """
+            SELECT '00000-documents' AS shard,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_success,
+                   CAST(0 AS BIGINT) AS n_failed
+            FROM documents
         """,
     },
     "line_items": {

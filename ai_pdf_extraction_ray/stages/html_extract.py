@@ -5,8 +5,10 @@ The deterministic replacement for the reference's LLM extraction kernel
 slots into; the kernel itself is new, built from the public
 Boilerpipe/Readability literature — see PAPERS.md):
 
-1. a single streaming pass with ``html.parser.HTMLParser`` segments the page
-   into text **blocks** at block-level tag boundaries, tracking per block:
+1. a single streaming pass (the ``_FastScanner`` regex tokenizer, 2.2x the
+   stdlib parser; ``html.parser.HTMLParser`` remains the equivalence
+   baseline and fallback) segments the page into text **blocks** at
+   block-level tag boundaries, tracking per block:
    char count, word count, chars inside ``<a>`` (link chars), and whether
    the block sits under a semantic content container (``article``/``main``)
    or a semantic boilerplate container (``nav``/``header``/``footer``/
