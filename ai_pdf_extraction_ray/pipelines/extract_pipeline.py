@@ -48,6 +48,7 @@ def pages_dataset(
     include_doc_id: bool = True,
     replicate: int = 1,
     override_num_blocks: int | None = None,
+    inflate: int = 1,
 ) -> Dataset:
     """documents.parquet -> canonical pages table (url, warc_ts, html, text, lang).
 
@@ -64,7 +65,8 @@ def pages_dataset(
         override_num_blocks=override_num_blocks,
     )
     return ds.map_batches(
-        lambda b: synthesize_pages_batch(b, include_doc_id=include_doc_id),
+        lambda b: synthesize_pages_batch(b, include_doc_id=include_doc_id,
+                                         inflate=inflate),
         batch_format="pyarrow",
         batch_size=DEFAULT_BATCH_SIZE,
     )

@@ -307,7 +307,9 @@ def build_pdf_pages(pages_lines: list[list[str]], doc_id: int = 0) -> bytes:
 # Batch synthesis (the map_batches kernel)
 # ---------------------------------------------------------------------------
 
-def synthesize_pages_batch(batch: pa.Table, include_doc_id: bool = True) -> pa.Table:
+def synthesize_pages_batch(
+    batch: pa.Table, include_doc_id: bool = True, inflate: int = 1
+) -> pa.Table:
     """Arrow batch of documents -> Arrow batch of pages (vector driver loop).
 
     Input columns: doc_id:int64, text:string, lang:string[, n_chars:int64].
@@ -315,6 +317,10 @@ def synthesize_pages_batch(batch: pa.Table, include_doc_id: bool = True) -> pa.T
     """
     doc_ids = batch.column("doc_id").to_pylist()
     texts = batch.column("text").to_pylist()
+    if inflate > 1:
+        # bench-only: emulate realistic page sizes; ground truth inflates
+        # consistently so extraction identity is preserved
+        texts = [((t or "") + " ") * (inflate - 1) + (t or "") for t in texts]
     langs = batch.column("lang").to_pylist()
     if "n_chars" in batch.column_names:
         n_chars = batch.column("n_chars").to_pylist()

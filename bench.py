@@ -31,6 +31,9 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # is per-row so throughput semantics are unchanged)
 REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "12"))
 RUN_QUERIES = os.environ.get("GRAFT_BENCH_QUERIES", "1") != "0"
+# text multiplier: emulate realistic Common-Crawl page sizes (the sf tables
+# carry ~300-char texts; CC main content is ~3-10 KB). 1 = oracle-faithful.
+HEAVY = int(os.environ.get("GRAFT_BENCH_HEAVY", "1"))
 
 # queries worth timing per-round (a representative spread of shapes)
 BENCH_QUERIES = [
@@ -130,7 +133,7 @@ def run_bench() -> dict:
     # payload volume: synth again cheaply at metadata level (sum of html sizes
     # is not persisted; approximate from a 1/50 sample of the output shard)
     sample = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["n_chars"])
-    total_chars = sum(sample.column("n_chars").to_pylist()) * REPLICATE
+    total_chars = sum(sample.column("n_chars").to_pylist()) * REPLICATE * HEAVY
     approx_payload_mb = (total_chars + n_docs * 2500) / 1e6  # content + boilerplate
 
     queries: dict[str, float] = {}
@@ -148,6 +151,7 @@ def run_bench() -> dict:
         "queries": queries,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
+        "heavy": HEAVY,
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / headline, 1),
         "mb_per_sec": round(approx_payload_mb / headline, 2),
