@@ -290,10 +290,53 @@ def _interpret(content: bytes, order_base: int) -> list[Run]:
     return runs
 
 
+COLUMN_GAP_MIN = 36.0  # half an inch of whitespace between column x-bands
+
+
+def _detect_columns(runs: list[Run]) -> list[list[Run]]:
+    """Column detection for reading order: project runs onto x, split at
+    gaps wider than COLUMN_GAP_MIN between occupied x-bands, and return
+    runs grouped per column left-to-right. One column => [runs].
+
+    A run's band is [x, x + estimated width]. Deterministic: band edges
+    come from the same width approximation the interpreter uses.
+    """
+    if len(runs) < 4:
+        return [runs]
+    bands = sorted(
+        (r.x, r.x + X_ADVANCE_FACTOR * r.size * len(r.text)) for r in runs
+    )
+    # merge overlapping bands, track gaps
+    merged: list[list[float]] = [list(bands[0])]
+    for lo, hi in bands[1:]:
+        if lo <= merged[-1][1] + COLUMN_GAP_MIN:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    if len(merged) < 2:
+        return [runs]
+    cols: list[list[Run]] = [[] for _ in merged]
+    for r in runs:
+        for ci, (lo, hi) in enumerate(merged):
+            if lo <= r.x <= hi:
+                cols[ci].append(r)
+                break
+    return [c for c in cols if c]
+
+
 def _assemble(runs: list[Run]) -> str:
-    """Lines by y-cluster (top-down), x-sort within; blocks by leading gaps."""
+    """Lines by y-cluster (top-down), x-sort within; blocks by leading gaps.
+    Multi-column pages are read column-by-column, left to right (reading
+    order per the north star's layout analysis)."""
     if not runs:
         return ""
+    columns = _detect_columns(runs)
+    if len(columns) > 1:
+        return "\n\n".join(_assemble_single(c) for c in columns)
+    return _assemble_single(runs)
+
+
+def _assemble_single(runs: list[Run]) -> str:
     srt = sorted(runs, key=lambda r: (-r.y, r.x, r.order))
     lines: list[list[Run]] = []
     for r in srt:

@@ -297,3 +297,25 @@ class TestArrayTableExtraction:
             assert json.loads(row["fields_json"])["line_items"] == expected
             checked += 1
         assert checked > 20
+
+
+class TestTwoColumnPdf:
+    def test_columns_read_left_then_right(self):
+        # left column x=72, right column x=350 — interleaved y positions
+        ops = ["BT", "/F1 12 Tf"]
+        left = ["left one alpha", "left two beta", "left three gamma"]
+        right = ["right one delta", "right two epsilon"]
+        for i, line in enumerate(left):
+            ops.append(f"1 0 0 1 72 {720 - i * 14} Tm ({line}) Tj")
+        for i, line in enumerate(right):
+            ops.append(f"1 0 0 1 350 {720 - i * 14} Tm ({line}) Tj")
+        content = "\n".join(ops + ["ET"]).encode()
+        rec = extract_pdf(_raw_pdf(content))
+        assert rec["text"] == (
+            "left one alpha left two beta left three gamma"
+            "\n\nright one delta right two epsilon"
+        )
+
+    def test_single_column_unaffected(self):
+        text = " ".join(f"tok{i}" for i in range(60)) 
+        assert extract_pdf(build_pdf(3, text))["text"] == text
