@@ -685,9 +685,9 @@ def q_run_report(sf_dir: str) -> pd.DataFrame:
     m = read_manifest(f"{out_dir}/shard=00000-documents")
     return pd.DataFrame({
         "shard": [m["shard"]],
-        "n_rows": pd.array([m["rows"]], dtype="int64"),
-        "n_success": pd.array([m["successful_documents"]], dtype="int64"),
-        "n_failed": pd.array([m["failed_documents"]], dtype="int64"),
+        "n_rows": np.array([m["rows"]], dtype=np.int64),
+        "n_success": np.array([m["successful_documents"]], dtype=np.int64),
+        "n_failed": np.array([m["failed_documents"]], dtype=np.int64),
     })
 
 
