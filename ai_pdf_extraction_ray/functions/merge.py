@@ -88,10 +88,11 @@ def merge_chunked(extractions: Dataset, schema: SchemaDefinition) -> Dataset:
     and chunk texts concatenated in order ("\\n\\n" — same join as block
     assembly).
     """
-    schema_dict = schema.to_dict()
+    # schema captured by value in the closure — deserialized once per worker,
+    # not rebuilt per url group
+    sch = schema
 
     def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
-        sch = SchemaDefinition.from_dict(schema_dict)
         g = g.sort_values("chunk_index", kind="mergesort")
         chunks = [json.loads(x) for x in g["fields_json"]]
         confs = list(g["confidence"])

@@ -126,8 +126,14 @@ def repartition_by_host(ds: Dataset, num_partitions: int) -> Dataset:
         buckets = [_z.crc32(h.encode()) % num_partitions for h in hosts]
         return batch.append_column("host_bucket", pa.array(buckets, pa.int64()))
 
-    return ds.map_batches(add_bucket, batch_format="pyarrow").repartition(
-        num_partitions, shuffle=True
+    # groupby + identity map_groups = portable key-based co-location (every
+    # output block holds exactly one host_bucket). Dataset.repartition(keys=)
+    # requires the global HASH_SHUFFLE DataContext strategy; this form works
+    # under any shuffle strategy with identical placement guarantees.
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("host_bucket")
+        .map_groups(lambda t: t, batch_format="pyarrow")
     )
 
 
@@ -178,8 +184,13 @@ def extract_job(
         # index prefix: input files may share basenames across directories
         shard_name = f"{idx:05d}-{os.path.splitext(os.path.basename(path))[0]}"
         shard_dir = os.path.join(out_dir, f"shard={shard_name}")
+        try:
+            st = os.stat(path)
+            input_key = f"{path}:{st.st_size}:{int(st.st_mtime)}"
+        except OSError:
+            input_key = path
         lineage = lineage_id(
-            path,
+            input_key,
             schema.name if schema else "",
             schema.version if schema else "",
         )

@@ -703,6 +703,8 @@ def q_line_items(sf_dir: str) -> Dataset:
     def explode(batch: pa.Table) -> pa.Table:
         out = {"url": [], "item_index": [], "description": [], "quantity": [],
                "unit_price": [], "total": []}
+        from ..functions.scalars import parse_currency as _pcur
+
         for url, fj in zip(batch.column("url").to_pylist(),
                            batch.column("fields_json").to_pylist()):
             items = _json.loads(fj).get("line_items") or []
@@ -711,8 +713,6 @@ def q_line_items(sf_dir: str) -> Dataset:
                 out["item_index"].append(i)
                 out["description"].append(it.get("description"))
                 out["quantity"].append(it.get("quantity"))
-                from ..functions.scalars import parse_currency as _pcur
-
                 out["unit_price"].append(_pcur(it.get("unit_price")))
                 out["total"].append(_pcur(it.get("total")))
         return pa.table({
@@ -1069,7 +1069,7 @@ QUERIES: dict[str, dict] = {
                    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
                    CAST(round((CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
                                               x -> x IN ('the', 'a'))) AS DOUBLE)
-                         / len(regexp_extract_all(text, '\S+'))) * 10000) AS BIGINT) / 10000.0 AS stop_ratio
+                         / NULLIF(len(regexp_extract_all(text, '\S+')), 0)) * 10000) AS BIGINT) / 10000.0 AS stop_ratio
             FROM documents
         """,
     },
@@ -1205,15 +1205,15 @@ QUERIES: dict[str, dict] = {
                    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
                    CAST(round((CAST(len(list_filter(regexp_extract_all(text, '\S+'),
                               x -> regexp_full_match(x, '[A-Za-z]+'))) AS DOUBLE)
-                        / len(regexp_extract_all(text, '\S+'))) * 10000) AS BIGINT) / 10000.0 AS alpha_ratio,
+                        / NULLIF(len(regexp_extract_all(text, '\S+')), 0)) * 10000) AS BIGINT) / 10000.0 AS alpha_ratio,
                    CAST(round((CAST(list_sum(list_transform(regexp_extract_all(text, '\S+'),
                               x -> length(x))) AS DOUBLE)
-                        / len(regexp_extract_all(text, '\S+'))) * 10000) AS BIGINT) / 10000.0 AS mean_token_len,
+                        / NULLIF(len(regexp_extract_all(text, '\S+')), 0)) * 10000) AS BIGINT) / 10000.0 AS mean_token_len,
                    CAST(round((CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-                        / length(text)) * 10000) AS BIGINT) / 10000.0 AS punct_ratio,
+                        / NULLIF(length(text), 0)) * 10000) AS BIGINT) / 10000.0 AS punct_ratio,
                    CAST(round((CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
                               x -> x IN ('{_EN_STOPS_SQL}'))) AS DOUBLE)
-                        / len(regexp_extract_all(text, '\S+'))) * 10000) AS BIGINT) / 10000.0 AS stop_ratio
+                        / NULLIF(len(regexp_extract_all(text, '\S+')), 0)) * 10000) AS BIGINT) / 10000.0 AS stop_ratio
             FROM documents
         """,
     },

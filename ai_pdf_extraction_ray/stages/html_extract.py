@@ -220,7 +220,7 @@ _TAG_RE = re.compile(
     r"|![^>]*>"                                      # doctype / decl
     r"|\?[^>]*>"                                     # processing instruction
     r"|(/?)([a-zA-Z][a-zA-Z0-9:_-]*)"                # 1:endslash 2:tag (no space after <, per html.parser)
-    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)"             # 3:attrs (quote-aware)
+    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*?)"            # 3:attrs (quote-aware, lazy so a trailing / reaches group 4)
     r"(/?)>"                                         # 4:self-close
     r")",
     re.DOTALL,

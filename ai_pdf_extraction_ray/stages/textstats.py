@@ -82,6 +82,7 @@ def language_id(sf_dir: str, *, concurrency: int = 2) -> Dataset:
 # ---------------------------------------------------------------------------
 
 _PUNCT = frozenset(".,!?;:")
+_ASCII_ALPHA = re.compile(r"[A-Za-z]+")
 
 
 def quality_features(text: str) -> dict:
@@ -91,7 +92,9 @@ def quality_features(text: str) -> dict:
     toks = _TOKEN.findall(t)
     n = len(toks)
     n_chars = len(t)
-    words = [w for w in toks if w.isalpha()]
+    # ASCII-alpha on purpose: keeps the DuckDB oracle ('[A-Za-z]+') and the
+    # engine bit-identical on non-ASCII corpora
+    words = [w for w in toks if _ASCII_ALPHA.fullmatch(w)]
     en_stops = _LANG_PROFILES["en"]
     return {
         "n_chars": n_chars,

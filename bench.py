@@ -116,7 +116,8 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     nb = max(NUM_CPUS * 2, (n_docs * REPLICATE) // 1250)  # ~1250-row blocks
     ext = run_extraction(
-        pages_dataset(SF_DIR, replicate=REPLICATE, override_num_blocks=nb),
+        pages_dataset(SF_DIR, replicate=REPLICATE, override_num_blocks=nb,
+                      inflate=HEAVY),
         INVOICE_SCHEMA,
         concurrency=pool,
         batch_size=None,

@@ -217,6 +217,8 @@ class TestFastScannerEquivalence:
         "<body><main><p>stray < bracket and 1 < 2 in text</p></main></body>",
         "<body><nav><a href='/'>Home</a></nav><MAIN><P>upper case tags</P></MAIN></body>",
         "<body><main><p>self-closed <span/>spans</p></main></body>",
+        "<body><aside/><p>after self-closed aside twenty words follow here to pass the density rule easily one two three four five six</p></body>",
+        "<body><nav/><main/><p>self-closed containers must not leak ancestor state into following blocks at all</p></body>",
         "<body><textarea><p>not parsed</p></textarea><main><p>after textarea</p></main></body>",
         "<body><main><p>nested <b>bold <i>italic</i></b> inline</p></main></body>",
         "<body><ul><li><a href='/1'>one</a></li><li>two words here</li></ul><article><p>art</p></article></body>",

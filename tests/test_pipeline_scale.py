@@ -71,6 +71,15 @@ class TestHostRepartition:
         assert df.host_bucket.nunique() > 1  # spread across buckets
         # all rows of one host share a bucket (co-location invariant)
         assert df[df.host == "h0.example.com"].host_bucket.nunique() == 1
+        # PHYSICAL placement: rows arrive grouped — each bucket's rows are
+        # contiguous (one group = one map_groups output; small outputs may
+        # coalesce into a batch but never interleave)
+        import itertools
+
+        for batch in out.iter_batches(batch_size=None, batch_format="pyarrow"):
+            vals = batch.column("host_bucket").to_pylist()
+            runs = [k for k, _ in itertools.groupby(vals)]
+            assert len(runs) == len(set(runs))  # no bucket splits/interleaves
 
 
 class TestPayloadDedup:
