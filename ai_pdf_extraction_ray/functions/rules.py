@@ -21,7 +21,7 @@ import ast
 import math
 from typing import Any
 
-from ..schema import extract_rule_identifiers
+from ..schema import _ALLOWED_FUNCS as _SCHEMA_FUNC_NAMES, extract_rule_identifiers
 
 _ALLOWED_FUNCS: dict[str, Any] = {
     "sum": sum,
@@ -35,6 +35,12 @@ _ALLOWED_FUNCS: dict[str, Any] = {
     "pow": pow,
     "len": len,
 }
+# single-source guard: the name set schema.filter_rules exempts from
+# field-reference checks must equal the callables this evaluator accepts,
+# or rules silently drop / silently skip (review finding)
+assert set(_ALLOWED_FUNCS) == set(_SCHEMA_FUNC_NAMES), (
+    set(_ALLOWED_FUNCS) ^ set(_SCHEMA_FUNC_NAMES)
+)
 
 _BINOPS = {
     ast.Add: lambda a, b: a + b,

@@ -72,13 +72,15 @@ def parse_currency(value: Any) -> float | None:
     cleaned = _NON_CURRENCY.sub("", s)
     if not cleaned or cleaned in {"-", ".", ",", "-.", "-,"}:
         return None
-    neg = cleaned.count("-")
-    if neg:
-        # keep a single leading minus; embedded dashes (ranges) are unparseable
-        if not s.lstrip().startswith("-") and not s.lstrip().startswith("("):
-            cleaned = cleaned.replace("-", "")
-        else:
-            cleaned = "-" + cleaned.replace("-", "")
+    # sign: a leading minus in the CLEANED string ("$-5" cleans to "-5") or
+    # accounting parentheses "(...)"; an embedded dash is a range -> None
+    paren_neg = s.startswith("(") and s.endswith(")")
+    if "-" in cleaned[1:]:
+        return None
+    neg = cleaned.startswith("-") or paren_neg
+    cleaned = cleaned.lstrip("-")
+    if not cleaned:
+        return None
     has_c, has_d = "," in cleaned, "." in cleaned
     if has_c and has_d:
         if cleaned.rfind(",") > cleaned.rfind("."):
@@ -92,9 +94,10 @@ def parse_currency(value: Any) -> float | None:
         else:
             cleaned = cleaned.replace(",", "")  # 1,234 / 1,234,567 -> grouping
     try:
-        return float(cleaned)
+        value_f = float(cleaned)
     except ValueError:
         return None
+    return -value_f if neg else value_f
 
 
 def _ymd(year: int, month: int, day: int) -> str | None:

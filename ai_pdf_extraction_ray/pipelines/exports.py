@@ -95,9 +95,12 @@ def csv_row(
     ]
     for f in schema.fields:
         cells.append(format_cell_for_csv(extracted_data.get(f.name)))
+    import math
+
     for f in schema.fields:
         conf = (field_confidences or {}).get(f.name)
-        cells.append(str(round(conf * 100)) if conf is not None else "")
+        # JS Math.round (half toward +inf), not python banker's rounding
+        cells.append(str(math.floor(conf * 100 + 0.5)) if conf is not None else "")
     return ",".join(_quote(c) for c in cells)
 
 

@@ -92,11 +92,25 @@ def run_extraction(
     """
     from ray.data import ActorPoolStrategy
 
+    # deadlock guard: a pool reserving EVERY cluster CPU starves the read/
+    # write task operators and the pipeline never progresses (observed on a
+    # 4-cpu cluster with the default pool of 4). Clamp to cpus-1.
+    import ray as _ray
+
+    try:
+        avail = int(_ray.cluster_resources().get("CPU", 0)) if _ray.is_initialized() else 0
+    except Exception:  # noqa: BLE001 — resource introspection is best-effort
+        avail = 0
+
+    def _clamp(n: int) -> int:
+        return max(1, min(n, avail - 1)) if avail else n
+
     if isinstance(concurrency, int):
-        compute = ActorPoolStrategy(size=concurrency, max_tasks_in_flight_per_actor=4)
+        compute = ActorPoolStrategy(size=_clamp(concurrency),
+                                    max_tasks_in_flight_per_actor=4)
     else:
         compute = ActorPoolStrategy(
-            min_size=concurrency[0], max_size=concurrency[1],
+            min_size=_clamp(concurrency[0]), max_size=_clamp(concurrency[1]),
             max_tasks_in_flight_per_actor=4,
         )
     import json as _json
@@ -217,7 +231,14 @@ def extract_job(
             ds, schema, concurrency=concurrency, batch_size=batch_size
         )
         ext.write_parquet(shard_dir)
-        metrics = run_metrics(rd.read_parquet(shard_dir))
+        if not os.path.isdir(shard_dir):
+            # zero-row shard: write_parquet creates nothing; an empty shard
+            # is still a completed shard (failure-is-data, resumable)
+            os.makedirs(shard_dir, exist_ok=True)
+            metrics = {"total_documents": 0, "successful_documents": 0,
+                       "failed_documents": 0, "average_confidence": 0.0}
+        else:
+            metrics = run_metrics(rd.read_parquet(shard_dir))
         manifest = {
             "lineage": lineage,
             "shard": shard_name,

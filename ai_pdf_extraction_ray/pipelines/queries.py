@@ -63,39 +63,13 @@ _URL_SQL = (
 )
 
 
-# -- oracle-stable rounding --------------------------------------------------
-# Ray and DuckDB sum floats in different orders (1-ulp drift) and their
-# round() modes differ (half-even vs half-away). Snapping to an integer of
-# scaled units on BOTH sides — CAST(round(x * 10^k) AS BIGINT) / 10^k —
-# yields bit-identical doubles whenever the integers agree, which makes the
-# driver's value-hash comparison deterministic.
-
-def _pc_round(col: pa.ChunkedArray | pa.Array, k: int):  # noqa: ANN201
-    scale = float(10 ** k)
-    # pyarrow's name for half-away-from-zero (DuckDB round()'s mode)
-    scaled = pc.round(pc.multiply(col, pa.scalar(scale)),
-                      ndigits=0, round_mode="half_towards_infinity")
-    return pc.divide(pc.cast(scaled, pa.int64()), pa.scalar(scale))
-
-
-def _np_round(arr: np.ndarray, k: int) -> np.ndarray:
-    scale = float(10 ** k)
-    scaled = arr * scale
-    snapped = np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5))
-    return snapped / scale
-
-
-def _py_round(x: float, k: int) -> float:
-    import math
-
-    scale = float(10 ** k)
-    s = x * scale
-    return (math.floor(s + 0.5) if s >= 0 else math.ceil(s - 0.5)) / scale
-
-
-def _sql_round(expr: str, k: int) -> str:
-    scale = 10 ** k
-    return f"CAST(round(({expr}) * {scale}) AS BIGINT) / {scale}.0"
+# oracle-stable rounding: single shared implementation (functions/rounding.py)
+from ..functions.rounding import (  # noqa: E402
+    np_round as _np_round,
+    pc_round as _pc_round,
+    py_round as _py_round,
+    sql_round as _sql_round,
+)
 
 
 def _events(sf_dir: str, columns: list[str] | None = None) -> Dataset:
@@ -462,32 +436,18 @@ def q_token_quality(sf_dir: str) -> Dataset:
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
 
-def q_knn_bruteforce(sf_dir: str) -> Dataset:
-    """ANN baseline: brute-force cosine top-10 vs a broadcast query vector
-    (numpy matmul per batch against the ray.put query matrix)."""
+def q_knn_bruteforce(sf_dir: str):  # noqa: ANN201 — DataFrame
+    """ANN baseline: brute-force cosine top-10 vs a broadcast query vector —
+    delegates to stages/similarity.knn_flat (ONE implementation backs both
+    the operator and the oracle query; review finding)."""
     import pyarrow.parquet as pq
+
+    from ..stages.similarity import knn_flat
 
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
     qrow = emb.filter(pc.equal(emb.column("vec_id"), 0))
     qvec = np.asarray(qrow.column("embedding")[0].as_py(), dtype=np.float64)
-    qvec /= np.linalg.norm(qvec)
-    q_ref = ray.put(qvec)
-
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-
-    def score(batch: pa.Table) -> pa.Table:
-        q = ray.get(q_ref)
-        X = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
-        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-        cos = Xn @ q
-        return pa.table({
-            "vec_id": batch.column("vec_id"),
-            "cos": pa.array(_np_round(cos, 6), pa.float64()),
-        })
-
-    scored = ds.map_batches(score, batch_format="pyarrow")
-    scored = scored.filter(expr="vec_id != 0")
-    return scored.sort(["cos", "vec_id"], descending=[True, False]).limit(10)
+    return knn_flat(sf_dir, qvec, k=10, exclude={0})
 
 
 def q_embedding_dup_pairs(sf_dir: str) -> Dataset:
@@ -858,7 +818,9 @@ def q_repair_completion(sf_dir: str) -> Dataset:
 
     repaired = ext.map_batches(drop_tax, batch_format="pyarrow").map_batches(
         RepairStage,
-        fn_constructor_kwargs={"schema_dict": INVOICE_SCHEMA.to_dict()},
+        fn_constructor_kwargs={
+            "schema_dict": _json.dumps(INVOICE_SCHEMA.to_dict(), sort_keys=True)
+        },
         batch_format="pyarrow",
         concurrency=2,
     )

@@ -229,7 +229,10 @@ def simhash_near_dups(sf_dir: str, *, max_hamming: int = 3,
     """Banded SimHash near-dup: docs sharing any 16-bit sub-band are
     candidates (guarantees recall for Hamming distance <= 3 over 4 bands);
     verified by full Hamming distance."""
-    sigs = simhash_signatures(sf_dir, concurrency=concurrency)
+    # materialize: the signature table is tiny (5 ints per doc) and is
+    # consumed once per band — without this the whole read+SimHasher
+    # pipeline re-executes 4x (lazy Dataset)
+    sigs = simhash_signatures(sf_dir, concurrency=concurrency).materialize()
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g["doc_id"].to_numpy()

@@ -139,6 +139,9 @@ class DocumentExtractor:
             if rec["error"] is not None:
                 error = rec["error"]
                 break
+            for w in rec["warnings"]:
+                if w not in warnings:
+                    warnings.append(w)
             if rec["text"]:
                 chunk_texts.append(rec["text"])
                 chunk_flats.append(rec["flat_text"])

@@ -130,7 +130,9 @@ class RepairStage:
     numeric fields from the schema's rules; emits a ``repaired_json``
     audit column (shape of manual_overrides smart-repair entries)."""
 
-    def __init__(self, schema_dict: dict) -> None:
+    def __init__(self, schema_dict: dict | str) -> None:
+        if isinstance(schema_dict, str):
+            schema_dict = json.loads(schema_dict)
         self.schema = SchemaDefinition.from_dict(schema_dict)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -151,7 +153,8 @@ def repair_extractions(
 ) -> Dataset:
     return extractions.map_batches(
         RepairStage,
-        fn_constructor_kwargs={"schema_dict": schema.to_dict()},
+        # json string: hashable constructor args (Ray arg dedup, no log noise)
+        fn_constructor_kwargs={"schema_dict": json.dumps(schema.to_dict(), sort_keys=True)},
         batch_format="pyarrow",
         concurrency=concurrency,
     )

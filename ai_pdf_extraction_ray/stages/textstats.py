@@ -21,13 +21,12 @@ _TOKEN = re.compile(r"\S+")
 _WORD = re.compile(r"[a-zA-Zà-ÿÀ-ß]+")
 
 
-def _r4(x: float) -> float:
-    """4-dp half-away-from-zero rounding (matches the DuckDB oracle's
-    round(); python's round() is half-even)."""
-    import math
+from ..functions.rounding import py_round as _shared_round
 
-    s = x * 10000.0
-    return (math.floor(s + 0.5) if s >= 0 else math.ceil(s - 0.5)) / 10000.0
+
+def _r4(x: float) -> float:
+    """4-dp oracle-stable rounding (shared implementation)."""
+    return _shared_round(x, 4)
 
 # Tiny function-word profiles (public linguistic knowledge); the classifier
 # scores languages by stopword hit counts — the classic cheap n-gram/

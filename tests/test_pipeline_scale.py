@@ -171,3 +171,39 @@ class TestChunkedPdfPath:
         pdf = build_multipage_pdf(5, ["one page only"])
         out = DocumentExtractor()(_pages([("https://h/small", pdf)])).to_pylist()[0]
         assert out["text"] == "one page only"
+
+
+class TestEmptyShard:
+    def test_zero_row_input_completes_with_manifest(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ai_pdf_extraction_ray.pipelines.extract_pipeline import extract_job
+
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+        })
+        path = str(tmp_path / "empty.parquet")
+        pq.write_table(empty, path)
+        # default concurrency (4) on the 4-cpu test cluster: the clamp must
+        # prevent the all-cpus-reserved deadlock this test once hit
+        manifests = extract_job([path], str(tmp_path / "out"))
+        assert manifests[0]["rows"] == 0
+        assert manifests[0]["skipped"] is False
+        # resume: the empty shard is now a valid checkpoint
+        again = extract_job([path], str(tmp_path / "out"), concurrency=2)
+        assert again[0]["skipped"] is True
+
+
+class TestChunkedWarningsPropagate:
+    def test_chunk_warnings_survive_merge(self):
+        from ai_pdf_extraction_ray.sources.corpus import build_pdf_pages
+        from ai_pdf_extraction_ray.stages.extract import DocumentExtractor
+
+        # 12 pages, one of them with no text ops -> warning from that chunk
+        pages = [[f"page {i} words here"] for i in range(12)]
+        pdf = build_pdf_pages(pages)
+        out = DocumentExtractor()(_pages([("https://h/w", pdf)])).to_pylist()[0]
+        assert out["error"] is None  # sanity: chunked path ran clean

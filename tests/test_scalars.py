@@ -96,3 +96,20 @@ class TestNormalizers:
     def test_clean_null_from_arrays(self):
         data = {"a": [1, None, 2, {"b": [None, 3]}], "c": None}
         assert clean_null_from_arrays(data) == {"a": [1, 2, {"b": [3]}], "c": None}
+
+
+class TestCurrencySigns:
+    """Review-found sign semantics: minus after symbol, accounting parens,
+    embedded dash = range (reference price-parser behaviors)."""
+
+    @pytest.mark.parametrize(
+        ("raw", "expected"),
+        [("$-5", -5.0), ("($5.00)", -5.0), ("(1,234.56)", -1234.56),
+         ("-€3,50", -3.5), ("$0.00", 0.0)],
+    )
+    def test_negative_forms(self, raw, expected):
+        assert parse_currency(raw) == pytest.approx(expected)
+
+    @pytest.mark.parametrize("raw", ["10-20", "$5-10", "2024-01-15"])
+    def test_embedded_dash_is_range_not_number(self, raw):
+        assert parse_currency(raw) is None
