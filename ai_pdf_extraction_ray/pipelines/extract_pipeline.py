@@ -151,6 +151,18 @@ def repartition_by_host(ds: Dataset, num_partitions: int) -> Dataset:
     )
 
 
+def write_host_partitioned(
+    extractions: Dataset, out_dir: str, num_buckets: int = 16
+) -> None:
+    """Skew-aware partitioned sink: co-locate by host-hash bucket, then
+    ``write_parquet(partition_cols=["host_bucket"])`` — one directory per
+    bucket, so per-host consumers read only their partition and a failed
+    bucket can be rewritten alone. The giant host shares its bucket
+    directory but never spills outside it."""
+    bucketed = repartition_by_host(extractions, num_buckets)
+    bucketed.write_parquet(out_dir, partition_cols=["host_bucket"])
+
+
 def run_metrics(extractions: Dataset) -> dict[str, Any]:
     """Run-level counters (reference batch counters A5–A7,
     routers/batches.py:222-241, 511): small aggregate result — safe to

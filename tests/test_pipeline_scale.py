@@ -207,3 +207,28 @@ class TestChunkedWarningsPropagate:
         pdf = build_pdf_pages(pages)
         out = DocumentExtractor()(_pages([("https://h/w", pdf)])).to_pylist()[0]
         assert out["error"] is None  # sanity: chunked path ran clean
+
+
+class TestHostPartitionedSink:
+    def test_partition_dirs_and_readback(self, ray_session, tmp_path):
+        from ai_pdf_extraction_ray.pipelines.extract_pipeline import (
+            pages_dataset,
+            run_extraction,
+            write_host_partitioned,
+        )
+        import os
+        import ray.data as rd
+
+        ext = run_extraction(pages_dataset("/root/testdata/sf0.001"), concurrency=2)
+        out = str(tmp_path / "by_host")
+        write_host_partitioned(ext.limit(200), out, num_buckets=8)
+        parts = sorted(d for d in os.listdir(out) if d.startswith("host_bucket="))
+        assert len(parts) >= 2
+        back = rd.read_parquet(out)
+        assert back.count() == 200
+        # a partition dir only contains its bucket's hosts
+        one = rd.read_parquet(os.path.join(out, parts[0])).to_pandas()
+        import zlib
+
+        bucket = int(parts[0].split("=")[1])
+        assert all(zlib.crc32(h.encode()) % 8 == bucket for h in one.host.unique())
