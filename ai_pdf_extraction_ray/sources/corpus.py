@@ -328,11 +328,20 @@ def synthesize_pages_batch(
         n_chars = [len(t or "") for t in texts]
 
     urls, tss, payloads = [], [], []
-    for d, t, lg, nc in zip(doc_ids, texts, langs, n_chars):
+    texts = list(texts)
+    for i, (d, t, lg, nc) in enumerate(zip(doc_ids, texts, langs, n_chars)):
         t = t or ""
         urls.append(url_for(d))
         tss.append(warc_ts_for(d))
-        payloads.append(build_pdf(d, t) if is_pdf_row(d) else build_html(d, t, lg or "en", nc))
+        if is_pdf_row(d):
+            # the simple PDF encoder is latin-1 (no font CMaps); keep the
+            # by-construction identity by writing the SAME replaced text
+            # into the ground-truth column (extracted == text always holds)
+            safe = t.encode("latin-1", errors="replace").decode("latin-1")
+            texts[i] = safe
+            payloads.append(build_pdf(d, safe))
+        else:
+            payloads.append(build_html(d, t, lg or "en", nc))
 
     cols = {
         "url": pa.array(urls, pa.string()),

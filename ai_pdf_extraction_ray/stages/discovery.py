@@ -34,7 +34,13 @@ from .extract import sniff_kind
 from .html_extract import extract_html
 from .pdf_extract import extract_pdf
 
-_LABEL_LINE = re.compile(r"^([A-Za-z][A-Za-z0-9 _-]{1,40})\s*:\s*(.+?)\s*$", re.MULTILINE)
+# Title-Case words only: document metadata labels ("Invoice Number") match;
+# prose fragments from boilerplate ("user0 says") do not (review finding:
+# comment lines were harvested as schema fields)
+_LABEL_LINE = re.compile(
+    r"^([A-Z][A-Za-z0-9]*(?:[ _-][A-Z][A-Za-z0-9]*){0,4})\s*:\s*(.+?)\s*$",
+    re.MULTILINE,
+)
 
 _CURRENCY_HINT = re.compile(r"^[\s]*[-(]?[$€£¥]")
 
@@ -75,26 +81,32 @@ def harvest_labels(flat_text: str) -> dict[str, str]:
 
 
 def propose_rules(
-    fields: list[str], samples: list[dict[str, float]], tolerance_pct: float = 0.01
+    fields: list[str], samples: list[dict[str, float]], tolerance_pct: float = 0.01,
+    min_magnitude: float = 0.1,
 ) -> list[str]:
     """Additive relations ``c == a + b`` that hold on every complete sample
-    (>= 2 supporting samples required)."""
+    (>= 2 supporting samples, and at least one sample where |c| exceeds
+    ``min_magnitude`` — near-zero samples satisfy any relation within the
+    absolute tolerance floor and would yield mutually inconsistent rules)."""
     rules: list[str] = []
     for c, a, b in itertools.permutations(fields, 3):
         if a >= b:  # a+b symmetric: canonical order, no duplicates
             continue
         support = 0
+        meaningful = False
         ok = True
         for s in samples:
             va, vb, vc = s.get(a), s.get(b), s.get(c)
             if va is None or vb is None or vc is None:
                 continue
             support += 1
+            if abs(vc) >= min_magnitude:
+                meaningful = True
             tol = max(abs(vc) * tolerance_pct, 0.02)
             if abs((va + vb) - vc) > tol:
                 ok = False
                 break
-        if ok and support >= 2:
+        if ok and support >= 2 and meaningful:
             rules.append(f"{c} == {a} + {b}")
     return rules
 

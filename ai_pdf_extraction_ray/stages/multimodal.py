@@ -78,13 +78,15 @@ def _decode_image(payload: bytes) -> np.ndarray:
             import io
 
             from PIL import Image  # noqa: F401
-
-            return np.asarray(Image.open(io.BytesIO(payload)))
         except ImportError:
             raise NotImplementedError(
                 "real image codecs unavailable (PIL not installed); "
                 "only SyntheticMedia SIMG payloads decodable"
             )
+        try:
+            return np.asarray(Image.open(io.BytesIO(payload)))
+        except Exception as e:  # noqa: BLE001 — PIL raises assorted OSErrors
+            raise ValueError(f"image decode failed: {e}") from e
     width, height, channels = struct.unpack_from("<HHB", payload, 4)
     data = np.frombuffer(payload, dtype=np.uint8, offset=9)
     if len(data) != width * height * channels:
@@ -286,30 +288,44 @@ def synthesize_media_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-def media_dataset(sf_dir: str) -> Dataset:
+_KIND_RESIDUE = {"image": 0, "audio": 1, "video": 2}
+
+
+def media_dataset(sf_dir: str, kind: str | None = None) -> Dataset:
+    """Synthesize the media table; with ``kind``, prefilter doc_ids BEFORE
+    encoding so only the requested lane pays the encode cost (review
+    finding: filtering after synthesis wasted 2/3 of the work)."""
     import ray.data as rd
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    if kind is not None:
+        residue = _KIND_RESIDUE[kind]
+
+        def keep(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 3 == residue))
+
+        docs = docs.map_batches(keep, batch_format="pyarrow")
     return docs.map_batches(synthesize_media_batch, batch_format="pyarrow",
                             batch_size=DEFAULT_MEDIA_BATCH * 8)
 
 
 def image_features(sf_dir: str, *, concurrency: int = 2) -> Dataset:
-    ds = media_dataset(sf_dir).filter(expr="media_type == 'image'")
+    ds = media_dataset(sf_dir, kind="image")
     return ds.map_batches(ImageFeatures, batch_format="pyarrow",
                           batch_size=DEFAULT_MEDIA_BATCH,
                           concurrency=concurrency, num_cpus=1)
 
 
 def audio_features(sf_dir: str, *, concurrency: int = 2) -> Dataset:
-    ds = media_dataset(sf_dir).filter(expr="media_type == 'audio'")
+    ds = media_dataset(sf_dir, kind="audio")
     return ds.map_batches(AudioFeatures, batch_format="pyarrow",
                           batch_size=DEFAULT_MEDIA_BATCH,
                           concurrency=concurrency, num_cpus=1)
 
 
 def video_frames(sf_dir: str, *, stride: int = 10, concurrency: int = 2) -> Dataset:
-    ds = media_dataset(sf_dir).filter(expr="media_type == 'video'")
+    ds = media_dataset(sf_dir, kind="video")
     return ds.map_batches(VideoFrameSampler, fn_constructor_kwargs={"stride": stride},
                           batch_format="pyarrow", batch_size=DEFAULT_MEDIA_BATCH,
                           concurrency=concurrency, num_cpus=1)

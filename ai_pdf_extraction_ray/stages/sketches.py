@@ -83,7 +83,9 @@ def approx_distinct(
             out_k.append(k)
             out_s.append(regs.tobytes())
         return pa.table({
-            key_col: pa.array(out_k),
+            # pin the key type from the input schema: an empty batch would
+            # otherwise infer null type and break block schema unification
+            key_col: pa.array(out_k, batch.schema.field(key_col).type),
             "sketch": pa.array(out_s, pa.binary()),
         })
 

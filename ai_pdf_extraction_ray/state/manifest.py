@@ -61,7 +61,9 @@ def read_manifest(shard_dir: str) -> dict[str, Any] | None:
     try:
         with open(path, encoding="utf-8") as f:
             return json.load(f)
-    except (OSError, json.JSONDecodeError):
+    except (OSError, ValueError):
+        # ValueError covers JSONDecodeError AND UnicodeDecodeError — any
+        # unreadable manifest means "recompute this shard", never a crash
         return None
 
 

@@ -124,6 +124,15 @@ class TestDiscovery:
         assert "total_amount == subtotal + tax_amount" in rules
         assert not any(r.startswith("subtotal ==") for r in rules)
 
+    def test_rule_proposal_rejects_near_zero_degeneracy(self):
+        # all values within the 0.02 absolute floor: every relation "holds";
+        # the magnitude guard must reject them all
+        samples = [
+            {"a": 0.01, "b": 0.01, "c": 0.01},
+            {"a": 0.02, "b": 0.02, "c": 0.02},
+        ]
+        assert propose_rules(["a", "b", "c"], samples) == []
+
     def test_discover_on_corpus(self, ray_session):
         from ai_pdf_extraction_ray.pipelines.extract_pipeline import pages_dataset
         from ai_pdf_extraction_ray.stages.discovery import discover_schema
@@ -132,6 +141,8 @@ class TestDiscovery:
         names = set(schema.field_names)
         assert {"invoice_number", "invoice_date", "subtotal", "tax_amount",
                 "total_amount", "is_paid"} <= names
+        # boilerplate prose ("user0 says: ...") must NOT become schema fields
+        assert not any(n.startswith("user") for n in names)
         assert schema.field("subtotal").type is FieldType.CURRENCY
         assert schema.field("invoice_date").type is FieldType.DATE
         assert "total_amount == subtotal + tax_amount" in schema.validation_rules

@@ -36,7 +36,11 @@ def to_pandas(result) -> pd.DataFrame:  # noqa: ANN001
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
-    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    # sort by non-float (key) columns first: float aggregates can differ by
+    # sub-tolerance ulps between engines and must not drive row order
+    keys = [c for c in df.columns if df[c].dtype.kind != "f"]
+    floats = [c for c in df.columns if df[c].dtype.kind == "f"]
+    df = df.sort_values(by=keys + floats, kind="mergesort").reset_index(drop=True)
     return df
 
 
