@@ -629,6 +629,56 @@ def q_distinct_event_types(sf_dir: str) -> Dataset:
     return ds.groupby("user_id").map_groups(distinct, batch_format="pandas")
 
 
+def q_union_events(sf_dir: str) -> Dataset:
+    """Set op: union of two disjoint slices (purchases + errors) followed by
+    a grouped count — ``Dataset.union`` keeps both streams lazy."""
+    purchases = _events(sf_dir, ["event_id", "event_type", "value"]).filter(
+        expr="event_type == 'purchase'"
+    )
+    errors = _events(sf_dir, ["event_id", "event_type", "value"]).filter(
+        expr="event_type == 'error'"
+    )
+    both = purchases.union(errors)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "value": batch.column("value")})
+        return t.group_by("event_type").aggregate([("value", "sum"), ("value", "count")])
+
+    agg = (
+        both.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("value_sum", alias_name="sv"),
+                   Sum("value_count", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table({
+            "event_type": b.column("event_type"),
+            "n": b.column("n").cast(pa.int64()),
+            "sum_value": _pc_round(b.column("sv"), 2),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_running_totals(sf_dir: str) -> Dataset:
+    """Windowed analytic: per-user running sum of value in event-time order
+    (groupby + in-group cumulative — the ordered-window primitive; oracle =
+    SUM OVER (PARTITION BY ... ORDER BY ...)). Emits the final 3 rows per
+    user to keep the result report-sized."""
+    from ..functions.rounding import np_round as _npr
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        csum = _npr(g["value"].cumsum().to_numpy(), 2)
+        out = g.assign(running_value=csum).tail(3)
+        return out[["user_id", "event_id", "running_value"]]
+
+    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+
+
 def q_run_report(sf_dir: str) -> pd.DataFrame:
     """Manifest-backed run reporting — the engine's replacement for the
     reference's status/history polling (routers/batches.py:430-542 recomputes
@@ -1086,6 +1136,32 @@ QUERIES: dict[str, dict] = {
         "sql": """
             SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
             FROM events GROUP BY user_id
+        """,
+    },
+    "union_events": {
+        "fn": q_union_events,
+        "sql": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(round((sum(value)) * 100) AS BIGINT) / 100.0 AS sum_value
+            FROM (
+                SELECT event_type, value FROM events WHERE event_type = 'purchase'
+                UNION ALL
+                SELECT event_type, value FROM events WHERE event_type = 'error'
+            ) u GROUP BY event_type
+        """,
+    },
+    "running_totals": {
+        "fn": q_running_totals,
+        "sql": """
+            SELECT user_id, event_id,
+                   CAST(round((running_raw) * 100) AS BIGINT) / 100.0 AS running_value
+            FROM (
+                SELECT user_id, event_id,
+                       sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS running_raw,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) t
+            WHERE rn <= 3
         """,
     },
     "run_report": {
