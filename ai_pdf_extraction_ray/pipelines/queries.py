@@ -629,6 +629,32 @@ def q_distinct_event_types(sf_dir: str) -> Dataset:
     return ds.groupby("user_id").map_groups(distinct, batch_format="pandas")
 
 
+def q_clean_text(sf_dir: str) -> Dataset:
+    """Text cleaning over a deterministically dirtied column: inject an
+    email + a phone-like digit run + extra whitespace per doc, then run the
+    cleaning stage (control strip -> PII redaction -> whitespace collapse).
+    The oracle reproduces both the dirtying and the cleanup in RE2."""
+    from ..stages.textnorm import TextCleaner
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def dirty(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        dirtied = [
+            f"{t}  contact: user{d}@example.com  tel: +1 (555) 000-{d % 10000:04d}"
+            for d, t in zip(ids, texts)
+        ]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text": pa.array(dirtied, pa.string()),
+        })
+
+    return docs.map_batches(dirty, batch_format="pyarrow").map_batches(
+        TextCleaner, batch_format="pyarrow", concurrency=2
+    )
+
+
 def q_union_events(sf_dir: str) -> Dataset:
     """Set op: union of two disjoint slices (purchases + errors) followed by
     a grouped count — ``Dataset.union`` keeps both streams lazy."""
@@ -1136,6 +1162,23 @@ QUERIES: dict[str, dict] = {
         "sql": """
             SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
             FROM events GROUP BY user_id
+        """,
+    },
+    "clean_text": {
+        "fn": q_clean_text,
+        "sql": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               text || '  contact: user' || CAST(doc_id AS VARCHAR)
+                                    || '@example.com  tel: +1 (555) 000-'
+                                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                               '[A-Za-z0-9_.]+@[A-Za-z0-9.-]+', '[EMAIL]', 'g'),
+                           '[0-9][0-9 ()+-]{6,}[0-9]', '[NUMBER]', 'g'),
+                       '\s+', ' ', 'g')) AS text,
+                   TRUE AS was_cleaned
+            FROM documents
         """,
     },
     "union_events": {

@@ -187,3 +187,37 @@ class TestHyperLogLog:
         for et, n in exact.items():
             est = approx.loc[et, "approx_distinct"]
             assert abs(est - n) / n < 0.05, (et, n, est)
+
+
+class TestTextNorm:
+    def test_cleaning_functions(self):
+        from ai_pdf_extraction_ray.stages.textnorm import (
+            clean_text,
+            normalize_whitespace,
+            redact_pii,
+            strip_control_chars,
+        )
+
+        assert normalize_whitespace("  a \t b\n\nc ") == "a b c"
+        assert strip_control_chars("a\x00b\x1fc\td") == "abc\td"
+        assert redact_pii("mail me at jo.e_1@sub.example.org ok") == "mail me at [EMAIL] ok"
+        assert redact_pii("call +1 (555) 123-4567 now") == "call +[NUMBER] now"  # digit-anchored pattern: leading + survives (same in the SQL oracle)
+        assert clean_text("  x\x00  y  ") == "x y"
+        # idempotence: cleaning clean text is identity
+        assert clean_text("plain words") == "plain words"
+
+    def test_cleaner_stage(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from ai_pdf_extraction_ray.stages.textnorm import TextCleaner
+
+        df = pd.DataFrame({"doc_id": [1, 2], "text": ["ok text", "dirty  a@b.co  x"]})
+        out = (
+            rd.from_pandas(df)
+            .map_batches(TextCleaner, batch_format="pyarrow", concurrency=2)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[1, "text"] == "ok text" and not out.loc[1, "was_cleaned"]
+        assert out.loc[2, "text"] == "dirty [EMAIL] x" and out.loc[2, "was_cleaned"]
