@@ -232,3 +232,36 @@ class TestHostPartitionedSink:
 
         bucket = int(parts[0].split("=")[1])
         assert all(zlib.crc32(h.encode()) % 8 == bucket for h in one.host.unique())
+
+
+class TestFileIngestion:
+    def test_raw_file_lane_end_to_end(self, ray_session, tmp_path):
+        from ai_pdf_extraction_ray.pipelines.extract_pipeline import run_extraction
+        from ai_pdf_extraction_ray.sources.corpus import build_pdf
+        from ai_pdf_extraction_ray.sources.files import ingest_files
+
+        (tmp_path / "a.html").write_bytes(
+            b"<html><body><main><p>file lane html content</p></main></body></html>"
+        )
+        (tmp_path / "b.pdf").write_bytes(build_pdf(1, "file lane pdf content"))
+        (tmp_path / "c.exe").write_bytes(b"not a document")
+        (tmp_path / "d.html").write_bytes(b"")
+
+        pages = ingest_files(str(tmp_path))
+        df = pages.to_pandas()
+        errs = df.set_index("url").ingest_error
+        assert errs[f"file://{tmp_path}/c.exe"] == "unsupported extension: exe"
+        assert errs[f"file://{tmp_path}/d.html"] == "empty file"
+        assert errs[f"file://{tmp_path}/a.html"] is None
+
+        # valid rows flow through the normal extraction pipeline unchanged
+        ok = pages.filter(expr="ingest_error is None") if False else pages
+        import pyarrow as pa
+
+        ok = pages.map_batches(
+            lambda b: b.filter(pa.compute.is_null(b.column("ingest_error"))),
+            batch_format="pyarrow",
+        )
+        out = run_extraction(ok, concurrency=2).to_pandas().set_index("url")
+        assert out.loc[f"file://{tmp_path}/a.html", "text"] == "file lane html content"
+        assert out.loc[f"file://{tmp_path}/b.pdf", "text"] == "file lane pdf content"
