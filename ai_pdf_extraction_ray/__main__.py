@@ -55,6 +55,8 @@ def main(argv: list[str] | None = None) -> int:
     p_extract.add_argument("--output", required=True)
     p_extract.add_argument("--schema", default=None, help="schema json file")
     p_extract.add_argument("--no-resume", action="store_true")
+    p_extract.add_argument("--repair", action="store_true",
+                           help="append the rule-driven completion stage")
     p_extract.add_argument("--concurrency", type=int, default=4)
 
     p_query = sub.add_parser("query", help="run a catalog query")
@@ -86,7 +88,8 @@ def main(argv: list[str] | None = None) -> int:
             )
             manifests = extract_job(
                 files, args.output, _load_schema(args.schema),
-                resume=not args.no_resume, concurrency=args.concurrency,
+                resume=not args.no_resume, repair=args.repair,
+                concurrency=args.concurrency,
             )
             print(json.dumps(manifests, indent=2))
         elif args.cmd == "query":

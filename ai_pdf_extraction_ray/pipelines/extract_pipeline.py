@@ -195,13 +195,17 @@ def extract_job(
     *,
     synthesize: bool = True,
     resume: bool = True,
+    repair: bool = False,
     concurrency: int | tuple[int, int] = DEFAULT_CONCURRENCY,
     batch_size: int = DEFAULT_BATCH_SIZE,
 ) -> list[dict[str, Any]]:
     """Resumable multi-shard extraction run.
 
     One shard per input file; a shard with a valid manifest (matching
-    lineage) is skipped. Returns the manifest list (one per shard).
+    lineage) is skipped. ``repair=True`` appends the rule-driven completion
+    stage (T3) after extraction (reference on-demand smart repair,
+    routers/documents.py:80-201, as a pipeline flag — SURVEY §2.10).
+    Returns the manifest list (one per shard).
     """
     import os
 
@@ -217,7 +221,7 @@ def extract_job(
             input_key = path
         lineage = lineage_id(
             input_key,
-            schema.name if schema else "",
+            (schema.name + (":repair" if repair else "")) if schema else "",
             schema.version if schema else "",
         )
         if resume and manifest_is_valid(shard_dir, lineage):
@@ -242,6 +246,10 @@ def extract_job(
         ext = run_extraction(
             ds, schema, concurrency=concurrency, batch_size=batch_size
         )
+        if repair and schema is not None:
+            from ..stages.repair import repair_extractions
+
+            ext = repair_extractions(ext, schema)
         ext.write_parquet(shard_dir)
         if not os.path.isdir(shard_dir):
             # zero-row shard: write_parquet creates nothing; an empty shard

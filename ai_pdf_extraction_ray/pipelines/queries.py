@@ -878,7 +878,7 @@ def q_repair_completion(sf_dir: str) -> Dataset:
     (reference repair.py:57-223 as deterministic equation solving)."""
     import json as _json
 
-    from ..stages.repair import RepairStage
+    from ..stages.repair import _repair_batch
 
     ext = run_extraction(pages_dataset(sf_dir), INVOICE_SCHEMA)
     ext = ext.filter(expr="kind == 'html'")
@@ -893,12 +893,9 @@ def q_repair_completion(sf_dir: str) -> Dataset:
         )
 
     repaired = ext.map_batches(drop_tax, batch_format="pyarrow").map_batches(
-        RepairStage,
-        fn_constructor_kwargs={
-            "schema_dict": _json.dumps(INVOICE_SCHEMA.to_dict(), sort_keys=True)
-        },
+        _repair_batch,
+        fn_kwargs={"schema_json": _json.dumps(INVOICE_SCHEMA.to_dict(), sort_keys=True)},
         batch_format="pyarrow",
-        concurrency=2,
     )
 
     def project(batch: pa.Table) -> pa.Table:

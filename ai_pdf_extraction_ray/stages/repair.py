@@ -126,9 +126,10 @@ def repair_record(
 
 
 class RepairStage:
-    """map_batches stage over extraction output: fills null required
-    numeric fields from the schema's rules; emits a ``repaired_json``
-    audit column (shape of manual_overrides smart-repair entries)."""
+    """Callable over extraction batches: fills null required numeric fields
+    from the schema's rules; emits a ``repaired_json`` audit column (shape
+    of manual_overrides smart-repair entries). Usable directly or via the
+    stateless wrapper below."""
 
     def __init__(self, schema_dict: dict | str) -> None:
         if isinstance(schema_dict, str):
@@ -148,13 +149,18 @@ class RepairStage:
         return pa.table(cols)
 
 
-def repair_extractions(
-    extractions: Dataset, schema: SchemaDefinition, *, concurrency: int = 2
-) -> Dataset:
+def _repair_batch(batch: pa.Table, schema_json: str) -> pa.Table:
+    return RepairStage(schema_json)(batch)
+
+
+def repair_extractions(extractions: Dataset, schema: SchemaDefinition) -> Dataset:
+    """STATELESS tasks, not an actor pool: the only state is the (tiny)
+    schema, and a second fixed-size pool in the same pipeline can deadlock
+    a small cluster when the pools' combined reservation exceeds the CPU
+    count (observed: extraction pool + repair pool on 4 cpus). Elastic
+    tasks share CPUs with every other stage."""
     return extractions.map_batches(
-        RepairStage,
-        # json string: hashable constructor args (Ray arg dedup, no log noise)
-        fn_constructor_kwargs={"schema_dict": json.dumps(schema.to_dict(), sort_keys=True)},
+        _repair_batch,
+        fn_kwargs={"schema_json": json.dumps(schema.to_dict(), sort_keys=True)},
         batch_format="pyarrow",
-        concurrency=concurrency,
     )

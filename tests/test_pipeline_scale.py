@@ -265,3 +265,24 @@ class TestFileIngestion:
         out = run_extraction(ok, concurrency=2).to_pandas().set_index("url")
         assert out.loc[f"file://{tmp_path}/a.html", "text"] == "file lane html content"
         assert out.loc[f"file://{tmp_path}/b.pdf", "text"] == "file lane pdf content"
+
+
+class TestRepairFlag:
+    def test_repair_stage_in_job(self, ray_session, tmp_path):
+        import json
+
+        import ray.data as rd
+
+        from ai_pdf_extraction_ray.pipelines.extract_pipeline import extract_job
+        from ai_pdf_extraction_ray.pipelines.queries import INVOICE_SCHEMA
+
+        out = str(tmp_path / "rj")
+        m = extract_job(["/root/testdata/sf0.001/documents.parquet"], out,
+                        INVOICE_SCHEMA, repair=True, concurrency=2)
+        assert m[0]["rows"] == 500
+        back = rd.read_parquet(out).to_pandas()
+        assert "repaired_json" in back.columns  # audit column present
+        # repair and non-repair runs have different lineages (no stale reuse)
+        m2 = extract_job(["/root/testdata/sf0.001/documents.parquet"], out,
+                         INVOICE_SCHEMA, repair=False, concurrency=2)
+        assert m2[0]["skipped"] is False
