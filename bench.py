@@ -141,8 +141,11 @@ def run_bench() -> dict:
     for name in BENCH_QUERIES if RUN_QUERIES else []:
         fn = QUERIES[name]["fn"]
         tq = time.perf_counter()
-        _consume(fn(SF_DIR))
-        queries[name] = round(time.perf_counter() - tq, 3)
+        try:
+            _consume(fn(SF_DIR))
+            queries[name] = round(time.perf_counter() - tq, 3)
+        except Exception:  # noqa: BLE001 — one bad query must not kill the bench
+            queries[name] = -1.0
 
     ray.shutdown()
     return {
