@@ -103,6 +103,9 @@ def run_extraction(
         avail = 0
 
     def _clamp(n: int) -> int:
+        # floor of 1: on a single-cpu cluster no split avoids contention —
+        # a 1-actor pool is the least-bad option (Ray time-slices the read
+        # tasks between actor batches there)
         return max(1, min(n, avail - 1)) if avail else n
 
     if isinstance(concurrency, int):

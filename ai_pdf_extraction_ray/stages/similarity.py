@@ -26,6 +26,8 @@ import ray
 import ray.data as rd
 from ray.data import Dataset
 
+from ..functions.rounding import np_round
+
 
 def _normalize(x: np.ndarray) -> np.ndarray:
     return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
@@ -51,11 +53,15 @@ def knn_flat(
         if excl:
             mask = ~np.isin(ids, list(excl))
             cos, ids = cos[mask], ids[mask]
-        take = min(k, len(ids))
-        idx = np.argpartition(-cos, take - 1)[:take] if take else np.array([], int)
+        # round BEFORE selection with the shared half-away helper, and break
+        # ties by vec_id — the local top-k must use exactly the oracle's
+        # ORDER BY rounded-cos DESC, vec_id, or boundary ties can drop the
+        # row DuckDB keeps (review finding)
+        cos_r = np_round(cos, 6)
+        order = np.lexsort((ids, -cos_r))[: min(k, len(ids))]
         return pa.table({
-            "vec_id": pa.array(ids[idx], pa.int64()),
-            "cos": pa.array(np.round(cos[idx], 6), pa.float64()),
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "cos": pa.array(cos_r[order], pa.float64()),
         })
 
     partials = (
@@ -154,7 +160,7 @@ def knn_ivf(
             cos, ids = cos[m2], ids[m2]
         return pa.table({
             "vec_id": pa.array(ids, pa.int64()),
-            "cos": pa.array(np.round(cos, 6), pa.float64()),
+            "cos": pa.array(np_round(cos, 6), pa.float64()),
         })
 
     hits = assigned.map_batches(scan, batch_format="pyarrow").to_pandas()

@@ -69,5 +69,7 @@ class TextCleaner:
 
 
 def clean_documents(sf_dir: str) -> Dataset:
+    """Cleaning pass over the documents table — stateless tasks (the stage
+    holds no state; fixed-size pools can starve small clusters)."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return docs.map_batches(TextCleaner, batch_format="pyarrow", concurrency=2)
+    return docs.map_batches(TextCleaner(), batch_format="pyarrow")

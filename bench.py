@@ -144,7 +144,8 @@ def run_bench() -> dict:
         try:
             _consume(fn(SF_DIR))
             queries[name] = round(time.perf_counter() - tq, 3)
-        except Exception:  # noqa: BLE001 — one bad query must not kill the bench
+        except Exception as e:  # noqa: BLE001 — one bad query must not kill the bench
+            print(f"bench query {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
             queries[name] = -1.0
 
     ray.shutdown()

@@ -221,3 +221,10 @@ class TestTextNorm:
         )
         assert out.loc[1, "text"] == "ok text" and not out.loc[1, "was_cleaned"]
         assert out.loc[2, "text"] == "dirty [EMAIL] x" and out.loc[2, "was_cleaned"]
+
+    def test_clean_documents_pipeline(self, ray_session):
+        from ai_pdf_extraction_ray.stages.textnorm import clean_documents
+
+        df = clean_documents("/root/testdata/sf0.001").to_pandas()
+        assert len(df) == 500
+        assert not df.was_cleaned.any()  # the corpus is already clean

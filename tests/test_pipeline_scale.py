@@ -201,12 +201,17 @@ class TestChunkedWarningsPropagate:
     def test_chunk_warnings_survive_merge(self):
         from ai_pdf_extraction_ray.sources.corpus import build_pdf_pages
         from ai_pdf_extraction_ray.stages.extract import DocumentExtractor
+        from ai_pdf_extraction_ray.stages.pdf_extract import extract_pdf
 
-        # 12 pages, one of them with no text ops -> warning from that chunk
-        pages = [[f"page {i} words here"] for i in range(12)]
+        # 12 pages; pages 5-9 (= one whole chunk of 5) carry no text ops, so
+        # that chunk's "no text operators found" warning must survive merge
+        pages = [[f"page {i} words here"] if not (5 <= i <= 9) else []
+                 for i in range(12)]
         pdf = build_pdf_pages(pages)
+        assert "no text operators found" in extract_pdf(pdf, 6, 10)["warnings"]
         out = DocumentExtractor()(_pages([("https://h/w", pdf)])).to_pylist()[0]
-        assert out["error"] is None  # sanity: chunked path ran clean
+        assert out["error"] is None
+        assert "no text operators found" in out["warnings"]
 
 
 class TestHostPartitionedSink:
@@ -255,7 +260,6 @@ class TestFileIngestion:
         assert errs[f"file://{tmp_path}/a.html"] is None
 
         # valid rows flow through the normal extraction pipeline unchanged
-        ok = pages.filter(expr="ingest_error is None") if False else pages
         import pyarrow as pa
 
         ok = pages.map_batches(
