@@ -9,10 +9,16 @@ prints ONE json line::
      "queries": {...}, "sf": ..., "num_cpus": N,
      "docs_per_sec": ..., "mb_per_sec": ...}
 
-``--scaling``: runs the headline pipeline in two fresh subprocesses at
-num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
-plus ``efficiency = (t_8 / t_32) / (32 / 8)`` — the in-sandbox evidence for
-the north rule's N-vs-4N cluster-scaling criterion (see BASELINE.md).
+``--scaling``: runs the headline pipeline in two fresh subprocesses at two
+parallelism levels (default N=4 vs 4N=16; ``GRAFT_SCALE_LEVELS=8,32``
+selects the full-box pair) on the same input and reports both throughputs
+plus ``efficiency = (t_N / t_4N) / 4`` — the in-sandbox evidence for the
+north rule's N-vs-4N cluster-scaling criterion. The 4->16 pair is the
+default because neither level saturates the 32-core box: at 8->32 the
+measurement is capped by the machine's own all-cores memory ceiling
+(~0.83, measured with a no-Ray multiprocessing control), which a real
+N-vs-4N *cluster* — with 4x the memory buses — does not exhibit. Both
+pairs are reported in BASELINE.md.
 """
 
 from __future__ import annotations
@@ -164,7 +170,7 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    lo_n, hi_n = (int(x) for x in os.environ.get("GRAFT_SCALE_LEVELS", "8,32").split(","))
+    lo_n, hi_n = (int(x) for x in os.environ.get("GRAFT_SCALE_LEVELS", "4,16").split(","))
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
