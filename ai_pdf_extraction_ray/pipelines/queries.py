@@ -662,6 +662,27 @@ def q_clean_text(sf_dir: str) -> Dataset:
     )
 
 
+def q_asof_join(sf_dir: str) -> Dataset:
+    """As-of join (brief's custom-operator list): attach to every event the
+    timestamp of the user's most recent signup AT OR BEFORE the event.
+    Composition: partition by the join key, sort by event time within the
+    group, forward-fill the right side (pd.merge_asof semantics inside
+    map_groups — the documented partitioning assumption is user_id
+    co-location, supplied by the groupby)."""
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        signup_ts = g["ts"].where(g["event_type"] == "signup")
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "last_signup_ts": signup_ts.ffill(),
+        })
+
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
 def q_union_events(sf_dir: str) -> Dataset:
     """Set op: union of two disjoint slices (purchases + errors) followed by
     a grouped count — ``Dataset.union`` keeps both streams lazy."""
@@ -1184,6 +1205,16 @@ QUERIES: dict[str, dict] = {
                        '\s+', ' ', 'g')) AS text,
                    TRUE AS was_cleaned
             FROM documents
+        """,
+    },
+    "asof_join": {
+        "fn": q_asof_join,
+        "sql": """
+            SELECT event_id, user_id,
+                   max(CASE WHEN event_type = 'signup' THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS last_signup_ts
+            FROM events
         """,
     },
     "union_events": {
