@@ -683,6 +683,44 @@ def q_asof_join(sf_dir: str) -> Dataset:
     return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
 
 
+_VALUE_BANDS = [0.0, 50.0, 100.0, 150.0]  # band i = [edge_i, edge_i+1)
+_BAND_LABELS = ["b0_50", "b50_100", "b100_150", "b150_plus"]
+
+
+def q_range_join(sf_dir: str) -> Dataset:
+    """Range join (brief's custom-operator list): events joined to a value
+    band table on ``lo <= value < hi``. The band table is tiny, so the
+    scale shape is broadcast + vectorized ``np.searchsorted`` per batch —
+    never a shuffle (the guide's canonical small-side range join); grouped
+    counts per band afterward."""
+    ds = _events(sf_dir, ["value"])
+    edges = np.asarray(_VALUE_BANDS)
+
+    def band(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(edges, v, side="right") - 1
+        idx = np.clip(idx, 0, len(_BAND_LABELS) - 1)
+        labels = np.array(_BAND_LABELS, dtype=object)[idx]
+        t = pa.table({"band": pa.array(labels, pa.string()),
+                      "value": batch.column("value")})
+        return t.group_by("band").aggregate([("value", "sum"), ("value", "count")])
+
+    agg = (
+        ds.map_batches(band, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(Sum("value_sum", alias_name="sv"),
+                   Sum("value_count", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table({
+            "band": b.column("band"),
+            "n": b.column("n").cast(pa.int64()),
+            "sum_value": _pc_round(b.column("sv"), 2),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def q_union_events(sf_dir: str) -> Dataset:
     """Set op: union of two disjoint slices (purchases + errors) followed by
     a grouped count — ``Dataset.union`` keeps both streams lazy."""
@@ -1215,6 +1253,20 @@ QUERIES: dict[str, dict] = {
                        OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS last_signup_ts
             FROM events
+        """,
+    },
+    "range_join": {
+        "fn": q_range_join,
+        "sql": """
+            SELECT b.band,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(round((sum(e.value)) * 100) AS BIGINT) / 100.0 AS sum_value
+            FROM events e
+            JOIN (VALUES ('b0_50', -1e18, 50.0), ('b50_100', 50.0, 100.0),
+                         ('b100_150', 100.0, 150.0), ('b150_plus', 150.0, 1e18)
+                 ) b(band, lo, hi)
+              ON e.value >= b.lo AND e.value < b.hi
+            GROUP BY b.band
         """,
     },
     "union_events": {
