@@ -721,6 +721,20 @@ def q_range_join(sf_dir: str) -> Dataset:
     )
 
 
+def q_topk_per_group(sf_dir: str) -> Dataset:
+    """Per-group top-k: each user's 3 highest-value events (rank within
+    partition — groupby + in-group sort head(k); oracle = row_number
+    window). Distinct from global top-k: the limit applies per key."""
+    ds = _events(sf_dir, ["user_id", "event_id", "value"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True],
+                          kind="mergesort").head(3)
+        return g[["user_id", "event_id", "value"]]
+
+    return ds.groupby("user_id").map_groups(topk, batch_format="pandas")
+
+
 def q_union_events(sf_dir: str) -> Dataset:
     """Set op: union of two disjoint slices (purchases + errors) followed by
     a grouped count — ``Dataset.union`` keeps both streams lazy."""
@@ -1267,6 +1281,17 @@ QUERIES: dict[str, dict] = {
                  ) b(band, lo, hi)
               ON e.value >= b.lo AND e.value < b.hi
             GROUP BY b.band
+        """,
+    },
+    "topk_per_group": {
+        "fn": q_topk_per_group,
+        "sql": """
+            SELECT user_id, event_id, value FROM (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY value DESC, event_id) AS rn
+                FROM events) t
+            WHERE rn <= 3
         """,
     },
     "union_events": {
