@@ -290,3 +290,46 @@ class TestRepairFlag:
         m2 = extract_job(["/root/testdata/sf0.001/documents.parquet"], out,
                          INVOICE_SCHEMA, repair=False, concurrency=2)
         assert m2[0]["skipped"] is False
+
+
+class TestEverythingTogether:
+    """Integration: resumable job with repair, host-partitioned sink, and
+    both export formats over one extraction — cross-feature seams."""
+
+    def test_full_workflow(self, ray_session, tmp_path):
+        import json
+
+        import ray.data as rd
+
+        from ai_pdf_extraction_ray.pipelines.exports import export_csv, export_json
+        from ai_pdf_extraction_ray.pipelines.extract_pipeline import (
+            extract_job,
+            pages_dataset,
+            run_extraction,
+            write_host_partitioned,
+        )
+        from ai_pdf_extraction_ray.pipelines.queries import INVOICE_SCHEMA
+
+        # 1. resumable job with repair
+        out = str(tmp_path / "job")
+        m = extract_job(["/root/testdata/sf0.001/documents.parquet"], out,
+                        INVOICE_SCHEMA, repair=True, concurrency=2)
+        assert m[0]["rows"] == 500 and m[0]["failed_documents"] == 0
+
+        # 2. job output feeds the host-partitioned sink
+        ext = rd.read_parquet(out)
+        by_host = str(tmp_path / "by_host")
+        write_host_partitioned(ext, by_host, num_buckets=4)
+        assert rd.read_parquet(by_host).count() == 500
+
+        # 3. exports from a fresh extraction of the same corpus
+        ext2 = run_extraction(pages_dataset("/root/testdata/sf0.001"),
+                              INVOICE_SCHEMA, concurrency=2).limit(50)
+        n = export_csv(ext2, INVOICE_SCHEMA, str(tmp_path / "r.csv"))
+        env = export_json(ext2, INVOICE_SCHEMA, str(tmp_path / "r.json"),
+                          batch_id="it", exported_at="2024-01-01T00:00:00Z")
+        assert n == 50 and env["total_documents"] == 50
+        # repaired audit column survived the parquet round-trip
+        sample = ext.take(1)[0]
+        assert "repaired_json" in sample
+        json.loads(sample["repaired_json"])  # valid json
