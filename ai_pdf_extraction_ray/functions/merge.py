@@ -49,9 +49,16 @@ def merge_extraction_chunks(
     for chunk in chunks:  # chunk order is semantic
         for key, value in chunk.items():
             if key in array_fields:
-                if isinstance(value, list):
-                    merged.setdefault(key, [])
-                    merged[key].extend(value)
+                # mirror the reference exactly (extraction.py:375-394): the
+                # first chunk seeds merged wholesale — even a malformed
+                # non-list value — and a prior scalar is wrapped into a list
+                # when a later chunk appends ([prior] + value)
+                if key not in merged:
+                    if value is not None:
+                        merged[key] = value
+                elif isinstance(value, list):
+                    prior = merged[key]
+                    merged[key] = (prior if isinstance(prior, list) else [prior]) + value
             else:
                 current = merged.get(key)
                 if current is None or current == "":

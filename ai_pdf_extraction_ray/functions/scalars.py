@@ -14,9 +14,13 @@ Observed reference behaviors preserved:
   point (EU ``1.234,56`` vs US ``1,234.56``); a lone comma is a decimal point
   only when followed by exactly 2 digits; unparseable -> None.
 - ``parse_date`` (validation.py:85-135): ISO ``YYYY-MM-DD`` passthrough;
-  ``A/B/YYYY`` tries US (month first) THEN European — ambiguous dates resolve
-  US; written formats ("January 15, 2024") via a month-name table; invalid
-  calendar dates -> None.
+  ``A/B/YYYY`` tries US (month first); written formats ("January 15, 2024")
+  via a month-name table; invalid calendar dates -> None. DELIBERATE
+  DIVERGENCE: when the US read is an invalid calendar date ("25/12/2024")
+  this parser falls back to day-first and succeeds, whereas the reference's
+  European branch (validation.py:113-121) is dead code (identical regex
+  behind an earlier ``return None``) so the reference keeps such values
+  raw. The fallback is a strict improvement kept on purpose.
 - ``normalize_number`` (validation.py:511-525): strip commas, int unless a
   ``.`` is present.
 - ``normalize_boolean`` (validation.py:527-539): truthy {true,yes,y,1,on} /

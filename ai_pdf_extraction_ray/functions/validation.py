@@ -27,8 +27,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field as dc_field
 from typing import Any
 
-from ..schema import FieldType, SchemaDefinition
-from .rules import evaluate_rule, extract_field_names_from_rule
+from ..schema import FieldType, SchemaDefinition, extract_rule_identifiers
+from .rules import evaluate_rule
 from .scalars import (
     normalize_boolean,
     normalize_number,
@@ -50,12 +50,17 @@ def perform_math_checks(
     warnings_set: set[str],
     extracted_data: dict[str, Any] | None = None,
 ) -> None:
-    """Evaluate schema rules over parsed numeric values (validation.py:345-397)."""
+    """Evaluate schema rules over parsed numeric values (validation.py:345-397).
+
+    The root-field gate is CASE-SENSITIVE over raw ``extracted_data`` keys,
+    exactly like the reference (validation.py:374-390 compares rule
+    identifiers against ``extracted_data.keys()`` verbatim) — a data key
+    ``Total`` does NOT satisfy a rule reference ``total``."""
     if not validation_rules:
         return
-    root_fields = {k.lower() for k in extracted_data} if extracted_data else set()
+    root_fields = set(extracted_data) if extracted_data else set()
     for rule in validation_rules:
-        refs = extract_field_names_from_rule(rule)
+        refs = extract_rule_identifiers(rule)
         if root_fields and refs and (refs - root_fields):
             continue  # references nested/absent fields — skip silently
         success, message, _failed = evaluate_rule(rule, numeric_values)

@@ -630,7 +630,7 @@ def q_distinct_event_types(sf_dir: str) -> Dataset:
 
 
 def q_clean_text(sf_dir: str) -> Dataset:
-    """Text cleaning over a deterministically dirtied column: inject an
+    r"""Text cleaning over a deterministically dirtied column: inject an
     email + a phone-like digit run + extra whitespace per doc, then run the
     cleaning stage (control strip -> PII redaction -> whitespace collapse).
     The oracle reproduces both the dirtying and the cleanup in RE2.

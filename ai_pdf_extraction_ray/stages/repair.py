@@ -31,7 +31,8 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
-from ..functions.scalars import parse_currency
+from ..functions.rounding import py_round
+from ..functions.scalars import normalize_number, normalize_percentage, parse_currency
 from ..schema import FieldType, SchemaDefinition
 
 _TERM = re.compile(r"([+-]?)\s*([A-Za-z_][A-Za-z0-9_]*|\d+(?:\.\d+)?)")
@@ -100,9 +101,20 @@ def repair_record(
     for f in schema.fields:
         if f.type in (FieldType.CURRENCY, FieldType.NUMBER, FieldType.PERCENTAGE):
             v = data.get(f.name)
-            numeric[f.name] = parse_currency(v) if f.type == FieldType.CURRENCY else (
-                float(v) if isinstance(v, (int, float)) and not isinstance(v, bool) else None
-            )
+            if f.type == FieldType.CURRENCY:
+                parsed = parse_currency(v)
+            elif isinstance(v, (int, float)) and not isinstance(v, bool):
+                parsed = float(v)
+            elif isinstance(v, str):
+                # a NUMBER/PERCENTAGE held as a numeric string ('1,234') is
+                # PRESENT, not missing — parsing it here keeps the solver
+                # from overwriting it (advisor finding)
+                p = (normalize_number(v) if f.type == FieldType.NUMBER
+                     else normalize_percentage(v))
+                parsed = float(p) if p is not None else None
+            else:
+                parsed = None
+            numeric[f.name] = parsed
 
     repaired: dict[str, dict] = {}
     out = dict(data)
@@ -115,7 +127,10 @@ def repair_record(
             name, value = sol
             if numeric.get(name) is not None:
                 continue
-            value = round(value, 2)
+            # shared half-away-from-zero rounding: repair_completion is
+            # oracle-facing, builtin half-even round() would hash-mismatch
+            value = py_round(value, 2)
+            value = py_round(value, 2)
             numeric[name] = value
             repaired[name] = {"original": data.get(name), "repaired": value}
             out[name] = value
