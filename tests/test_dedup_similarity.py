@@ -106,6 +106,46 @@ class TestTextStats:
         h2 = rolling_hashes("YY" + "abcdefghijklmnop")
         assert h1[0] == h2[2]
 
+    def test_rolling_hash_matches_scalar_rabin_karp(self):
+        # the vectorized windowed-Horner kernel must stay bit-identical to
+        # the scalar Rabin-Karp recurrence it replaced (committed fingerprints
+        # and goldens depend on these exact values)
+        from ai_pdf_extraction_ray.stages.textstats import _B, _M
+
+        def scalar_ref(text: str, k: int) -> list[int]:
+            data = text.encode("utf-8")
+            n = len(data)
+            if n < k:
+                h = 0
+                for b in data:
+                    h = (h * _B + b) % _M
+                return [h]
+            out = []
+            h = 0
+            for i in range(k):
+                h = (h * _B + data[i]) % _M
+            out.append(h)
+            top = pow(_B, k - 1, _M)
+            for i in range(1, n - k + 1):
+                h = ((h - data[i - 1] * top) * _B + data[i + k - 1]) % _M
+                out.append(h)
+            return out
+
+        import random
+
+        rng = random.Random(7)
+        cases = [
+            "", "a", "short text", "hello world " * 4,
+            "ünïcödé multibyte " * 20, "\xff" * 64, chr(0x10FFFF) * 30,
+            "".join(chr(rng.randint(32, 126)) for _ in range(3000)),
+            # crosses the 2^15 chunk boundary in the vectorized kernel
+            "".join(chr(rng.randint(32, 126)) for _ in range(33000)),
+        ]
+        for text in cases:
+            for k in (4, 8, 16, 17):  # incl. an odd k
+                got = rolling_hashes(text, k).tolist()
+                assert got == scalar_ref(text, k), (len(text), k)
+
     def test_fingerprint_deterministic_and_discriminative(self):
         a = " ".join(f"w{i}" for i in range(50))
         b = " ".join(f"v{i}" for i in range(50))
