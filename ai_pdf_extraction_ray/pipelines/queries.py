@@ -932,22 +932,38 @@ def q_media_image_features(sf_dir: str) -> Dataset:
 
 
 def q_media_audio_video(sf_dir: str) -> pd.DataFrame:
-    """Multimodal: audio feature extraction + video frame sampling
-    (rows-only; exact expected values pinned by unit tests)."""
+    """Multimodal: audio feature extraction + video frame sampling.
+
+    Only small columns reach the driver: audio rows are projected to
+    (media_id, rms) and sampled-frame counts are aggregated per batch then
+    summed in a tiny groupby — the frame PAYLOADS never leave the cluster
+    (the round-1 version to_pandas()'d every sampled frame's bytes)."""
     from ..stages.multimodal import audio_features, video_frames
 
-    audio = audio_features(sf_dir).to_pandas()
-    frames = video_frames(sf_dir, stride=5).to_pandas()
-    frame_counts = frames.groupby("media_id").size().rename("n_sampled_frames")
+    audio = audio_features(sf_dir).select_columns(["media_id", "rms"]).to_pandas()
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        return pa.table({"media_id": b.column("media_id")}).group_by(
+            "media_id"
+        ).aggregate([("media_id", "count")])
+
+    frame_counts = (
+        video_frames(sf_dir, stride=5)
+        .select_columns(["media_id"])
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("media_id")
+        .aggregate(Sum("media_id_count", alias_name="n_sampled_frames"))
+        .to_pandas()
+    )
     audio_summary = pd.DataFrame({
         "media_id": audio.media_id,
         "kind": "audio",
         "value": audio.rms,
     })
     video_summary = pd.DataFrame({
-        "media_id": frame_counts.index.astype("int64"),
+        "media_id": frame_counts.media_id.astype("int64"),
         "kind": "video",
-        "value": frame_counts.to_numpy().astype("float64"),
+        "value": frame_counts.n_sampled_frames.to_numpy().astype("float64"),
     })
     return pd.concat([audio_summary, video_summary], ignore_index=True)
 
@@ -1046,16 +1062,62 @@ def q_merge_chunked(sf_dir: str) -> Dataset:
 
 
 def q_discovered_schema(sf_dir: str) -> pd.DataFrame:
-    """T2 schema discovery over a deterministic sample (rows-only: the
-    inferred schema is the deterministic spec itself)."""
+    """T2 schema discovery over a deterministic sample — the full reference
+    surface: document type + reasoning (schema name/description), typed
+    fields, and proposed validation rules (golden-value oracle: the output
+    is a deterministic function of the sampled pages)."""
     from ..stages.discovery import discover_schema
 
     schema = discover_schema(pages_dataset(sf_dir), sample_size=6)
+    rules = "; ".join(schema.validation_rules)
     return pd.DataFrame({
         "field": schema.field_names,
         "type": [f.type.value for f in schema.fields],
         "required": [f.required for f in schema.fields],
+        "doc_type": schema.name,
+        "reasoning": schema.description,
+        "rules": rules,
     })
+
+
+def _lang_id_sql() -> str:
+    """DuckDB restatement of stages/textstats.detect_language, with the
+    profile word lists imported from the engine's own constants."""
+    from ..stages.textstats import _LANG_PROFILES
+
+    langs = sorted(_LANG_PROFILES)  # the engine's deterministic scan order
+    hit_cols = ",\n                   ".join(
+        "len(list_filter(toks, x -> x IN ('"
+        + "', '".join(sorted(_LANG_PROFILES[lang]))
+        + f"'))) AS {lang}_h"
+        for lang in langs
+    )
+    mx = "greatest(" + ", ".join(f"{lang}_h" for lang in langs) + ")"
+    winner = "\n                        ".join(
+        f"WHEN {lang}_h = {mx} THEN '{lang}'" for lang in langs[:-1]
+    )
+    score = _sql_round(f"CAST({mx} AS DOUBLE) / n", 4)
+    return f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_transform(regexp_extract_all(text, '[a-zA-Zà-ÿÀ-ß]+'),
+                                    x -> lower(x)) AS toks
+              FROM documents
+            ), h AS (
+              SELECT doc_id, len(toks) AS n,
+                   {hit_cols}
+              FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN n = 0 OR {mx} = 0 THEN 'und'
+                        {winner}
+                        ELSE '{langs[-1]}' END AS pred_lang,
+                   CASE WHEN n = 0 THEN 0.0 ELSE {score} END AS lang_score
+            FROM h
+    """
+
+
+_LANG_ID_SQL = _lang_id_sql()
 
 
 _EN_STOPS_SQL = "', '".join(sorted(
@@ -1065,6 +1127,15 @@ _EN_STOPS_SQL = "', '".join(sorted(
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
+
+# Golden-value oracles for kernels DuckDB cannot restate (md5-seeded SimHash
+# banding, 61-bit rolling-hash fingerprints, HLL register estimates,
+# sample-trained IVF probes, the discovery classifier). The kernels'
+# correctness is established by unit tests against planted/analytic ground
+# truth; the committed golden (pinned at the driver's sf0.01 gate scale by
+# tools/make_value_goldens.py) then makes ANY value drift visible to the
+# driver's hash comparison — closing the round-1 "no_oracle" gap.
+from .goldens import GOLDEN_SQL  # noqa: E402
 
 QUERIES: dict[str, dict] = {
     "extract_text": {
@@ -1363,9 +1434,56 @@ QUERIES: dict[str, dict] = {
             GROUP BY 1
         """,
     },
-    "approx_distinct_users": {"fn": q_approx_distinct_users, "sql": None},
-    "media_image_features": {"fn": q_media_image_features, "sql": None},
-    "media_audio_video": {"fn": q_media_audio_video, "sql": None},
+    "approx_distinct_users": {"fn": q_approx_distinct_users, "sql": GOLDEN_SQL["approx_distinct_users"]},
+    # Exact value-level oracles: the SyntheticMedia payloads are pure
+    # functions of doc_id (pixel[i] = (id*31 + 7i) mod 256, etc. —
+    # stages/multimodal.py byte layouts), so the decoded features are
+    # SQL-expressible via unnest(generate_series). Engine moments use exact
+    # integer sums in the same float64 expression order as the SQL
+    # (avg(v*v) - avg(v)^2), making the rounded doubles bit-identical.
+    "media_image_features": {
+        "fn": q_media_image_features,
+        "sql": """
+            WITH img AS (
+              SELECT doc_id, 16 + doc_id % 48 AS w, 16 + (doc_id * 7) % 48 AS h
+              FROM documents WHERE doc_id % 3 = 0
+            ), px AS (
+              SELECT doc_id, w, h, unnest(generate_series(0, w * h * 3 - 1)) AS i
+              FROM img
+            ), v AS (
+              SELECT doc_id, w, h, (doc_id * 31 + i * 7) % 256 AS v FROM px
+            )
+            SELECT doc_id AS media_id,
+                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(3 AS INT) AS channels,
+                   CAST(round((avg(v)) * 10000) AS BIGINT) / 10000.0 AS mean_pixel,
+                   CAST(round((sqrt(greatest(avg(CAST(v AS DOUBLE) * v) - avg(v) * avg(v), 0.0))) * 10000) AS BIGINT) / 10000.0 AS std_pixel,
+                   CAST(NULL AS VARCHAR) AS error
+            FROM v GROUP BY doc_id, w, h
+        """,
+    },
+    "media_audio_video": {
+        "fn": q_media_audio_video,
+        "sql": """
+            WITH aud AS (
+              SELECT doc_id, 1000 + (doc_id * 37) % 4000 AS n
+              FROM documents WHERE doc_id % 3 = 1
+            ), apx AS (
+              SELECT doc_id, unnest(generate_series(0, n - 1)) AS i FROM aud
+            ), c AS (
+              SELECT doc_id,
+                     CAST((doc_id * 17 + i * 13) % 256 - 128 AS DOUBLE) AS c
+              FROM apx
+            )
+            SELECT doc_id AS media_id, 'audio' AS kind,
+                   CAST(round((sqrt(avg(c * c))) * 10000) AS BIGINT) / 10000.0 AS value
+            FROM c GROUP BY doc_id
+            UNION ALL
+            SELECT doc_id AS media_id, 'video' AS kind,
+                   CAST((5 + doc_id % 20 + 4) // 5 AS DOUBLE) AS value
+            FROM documents WHERE doc_id % 3 = 2
+        """,
+    },
     "repair_completion": {
         "fn": q_repair_completion,
         "sql": f"""
@@ -1390,7 +1508,7 @@ QUERIES: dict[str, dict] = {
             WHERE doc_id % 10 <> 7
         """,
     },
-    "discovered_schema": {"fn": q_discovered_schema, "sql": None},
+    "discovered_schema": {"fn": q_discovered_schema, "sql": GOLDEN_SQL["discovered_schema"]},
     "quality_scores": {
         "fn": q_quality_scores,
         "sql": rf"""
@@ -1411,8 +1529,13 @@ QUERIES: dict[str, dict] = {
             FROM documents
         """,
     },
-    "lang_id": {"fn": q_lang_id, "sql": None},
-    "fingerprints": {"fn": q_fingerprints, "sql": None},
+    # Exact value-level oracle: the function-word vote restated in SQL. The
+    # IN-lists are generated from the SAME profile constants the engine uses
+    # (no drift); tie-break = first language in sorted order with hits equal
+    # to the max (the engine requires strictly-greater to displace, scanning
+    # sorted langs); zero hits or zero tokens -> 'und'.
+    "lang_id": {"fn": q_lang_id, "sql": _LANG_ID_SQL},
+    "fingerprints": {"fn": q_fingerprints, "sql": GOLDEN_SQL["fingerprints"]},
     # Exact value-level oracle: at the driver corpus every true near-dup pair
     # has J >= 0.9 (verified), where 16-band/4-row LSH recall is ~1-1e-44 and
     # no band bucket approaches BUCKET_CAP — so the LSH+verify pipeline equals
@@ -1444,8 +1567,8 @@ QUERIES: dict[str, dict] = {
             SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
         """,
     },
-    "simhash_near_dups": {"fn": q_simhash_near_dups, "sql": None},
-    "knn_ivf": {"fn": q_knn_ivf, "sql": None},
+    "simhash_near_dups": {"fn": q_simhash_near_dups, "sql": GOLDEN_SQL["simhash_near_dups"]},
+    "knn_ivf": {"fn": q_knn_ivf, "sql": GOLDEN_SQL["knn_ivf"]},
     "embedding_dup_pairs": {
         "fn": q_embedding_dup_pairs,
         "sql": """

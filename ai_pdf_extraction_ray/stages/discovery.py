@@ -111,12 +111,98 @@ def propose_rules(
     return rules
 
 
+def coerce_field_type(type_str: str) -> FieldType:
+    """Raw proposed type string -> FieldType; unknown strings coerce to
+    STRING exactly like the reference (discovery.py:204-212:
+    ``FieldType(discovered_field.type.lower())`` with ValueError ->
+    ``FieldType.STRING``)."""
+    try:
+        return FieldType(str(type_str).lower())
+    except ValueError:
+        return FieldType.STRING
+
+
+# structural doc-type signals, checked in order; first match wins (the
+# deterministic replacement for the reference's chain-of-thought "classify
+# the document type" step, discovery.py:299-306)
+_DOC_TYPE_SIGNALS: list[tuple[str, frozenset[str]]] = [
+    ("Invoice", frozenset({"invoice_number"})),
+    ("Receipt", frozenset({"receipt_number"})),
+    ("Purchase Order", frozenset({"po_number", "order_number"})),
+    ("Statement", frozenset({"statement_date", "account_number"})),
+    ("Report", frozenset({"report_id", "report_date"})),
+]
+
+
+def classify_document_type(field_names: set[str], n_currency: int) -> tuple[str, str]:
+    """(document_type, reasoning) from structural signals: identifying label
+    fields first, then a currency-density fallback. Deterministic."""
+    for doc_type, signals in _DOC_TYPE_SIGNALS:
+        hit = signals & field_names
+        if hit:
+            return doc_type, (
+                f"Classified as {doc_type}: identifying field(s) "
+                f"{sorted(hit)} present among {len(field_names)} harvested fields."
+            )
+    if n_currency >= 2:
+        return "Financial Document", (
+            f"Classified as Financial Document: {n_currency} currency fields "
+            f"among {len(field_names)} harvested fields, no identifying label."
+        )
+    return "Document", (
+        f"Classified as generic Document: no identifying label fields among "
+        f"{len(field_names)} harvested."
+    )
+
+
+def convert_discovery_to_schema(
+    document_type: str,
+    reasoning: str,
+    proposed_fields: list[dict],
+    proposed_rules: list[str],
+) -> SchemaDefinition:
+    """Proposal -> SchemaDefinition, mirroring the reference's
+    ``_convert_discovery_to_schema`` (discovery.py:200-248): unknown type
+    strings coerce to STRING, schema name is ``"{document_type} Schema"``,
+    description carries the reasoning, and rules referencing fields outside
+    the schema are silently dropped."""
+    fields = [
+        FieldDefinition(
+            name=f["name"],
+            type=coerce_field_type(f.get("type", "string")),
+            description=f.get("description", ""),
+            required=bool(f.get("required", False)),
+        )
+        for f in proposed_fields
+    ]
+    # rule-reference filter is applied by the SchemaDefinition constructor
+    # (schema.filter_rules — same two-layer silent drop as the reference)
+    return SchemaDefinition(
+        name=f"{document_type} Schema",
+        description=reasoning,
+        version="1.0",
+        fields=fields,
+        validation_rules=proposed_rules,
+    )
+
+
 def discover_schema(
     pages: Dataset, *, sample_size: int = 6, min_support: float = 0.5,
-    name: str = "discovered",
 ) -> SchemaDefinition:
-    """Sample pages -> inferred SchemaDefinition (driver-side; cheap)."""
-    sample = pages.limit(sample_size).to_pandas()
+    """Sample pages -> inferred SchemaDefinition (driver-side; cheap).
+
+    Emits the reference's full discovery surface: document type + reasoning
+    (schema name/description), typed fields with unknown->STRING coercion,
+    and validation-rule proposals filtered to schema-resident references.
+
+    Sampling is DETERMINISTIC: when the pages carry a doc_id the sample is
+    ``doc_id < sample_size`` (a ``Dataset.limit`` depends on block arrival
+    order and can differ across runs — observed flake against the committed
+    golden); otherwise limit() is the fallback."""
+    if "doc_id" in (pages.schema().names or []):
+        sample = pages.filter(expr=f"doc_id < {sample_size}").to_pandas()
+    else:
+        sample = pages.limit(sample_size).to_pandas()
     harvested: list[dict[str, str]] = []
     for payload in sample["html"]:
         kind = sniff_kind(payload)
@@ -130,17 +216,19 @@ def discover_schema(
     n = max(1, len(harvested))
     field_names = [k for k, vs in counts.items() if len(vs) / n >= min_support]
 
-    fields = [
-        FieldDefinition(name=k, type=infer_type(counts[k]),
-                        required=len(counts[k]) == n)
+    proposed = [
+        {"name": k, "type": infer_type(counts[k]).value,
+         "description": f"harvested from {len(counts[k])}/{n} sampled pages",
+         "required": len(counts[k]) == n}
         for k in field_names
     ]
-    if not fields:
-        fields = [FieldDefinition("text", FieldType.STRING)]
+    if not proposed:
+        proposed = [{"name": "text", "type": "string"}]
 
-    currency_fields = [f.name for f in fields if f.type == FieldType.CURRENCY]
+    currency_fields = [f["name"] for f in proposed if f["type"] == "currency"]
     samples_numeric = [
         {k: parse_currency(h.get(k)) for k in currency_fields} for h in harvested
     ]
     rules = propose_rules(currency_fields, samples_numeric)
-    return SchemaDefinition(name=name, fields=fields, validation_rules=rules)
+    doc_type, reasoning = classify_document_type(set(field_names), len(currency_fields))
+    return convert_discovery_to_schema(doc_type, reasoning, proposed, rules)

@@ -37,6 +37,8 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
+from ..functions.rounding import py_round
+
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
     ("media_type", pa.string()),        # image | audio | video
@@ -133,8 +135,18 @@ class ImageFeatures:
                 out["width"].append(w)
                 out["height"].append(h)
                 out["channels"].append(c)
-                out["mean_pixel"].append(round(float(img.mean()), 4))
-                out["std_pixel"].append(round(float(img.std()), 4))
+                # closed-form moments over EXACT integer sums (pixel sums
+                # < 2^53 are exact doubles), evaluated in the same float64
+                # expression order as the SQL oracle (avg(v*v) - avg(v)^2)
+                # so the rounded values are bit-identical; shared half-away
+                # rounding, not builtin half-even
+                n = img.size
+                s1 = int(img.sum(dtype=np.int64))
+                s2 = int((img.astype(np.int64) ** 2).sum())
+                mean = s1 / n
+                var = s2 / n - mean * mean
+                out["mean_pixel"].append(py_round(mean, 4))
+                out["std_pixel"].append(py_round(float(np.sqrt(max(var, 0.0))), 4))
                 out["error"].append(None)
             except (NotImplementedError, ValueError, struct.error) as e:
                 out["width"].append(None)
@@ -198,11 +210,13 @@ class AudioFeatures:
             out["media_id"].append(mid)
             try:
                 rate, data = _decode_audio(payload)
-                centered = data.astype(np.float64) - 128.0
+                # exact integer sum of squares -> float64 mean: matches the
+                # SQL oracle's avg(c*c) bit-for-bit; shared half-away rounding
+                sq = int(((data.astype(np.int64) - 128) ** 2).sum())
                 out["sample_rate"].append(rate)
                 out["n_samples"].append(len(data))
-                out["duration_s"].append(round(len(data) / rate, 4))
-                out["rms"].append(round(float(np.sqrt((centered ** 2).mean())), 4))
+                out["duration_s"].append(py_round(len(data) / rate, 4))
+                out["rms"].append(py_round(float(np.sqrt(sq / len(data))), 4))
                 out["error"].append(None)
             except (NotImplementedError, ValueError, struct.error) as e:
                 out["sample_rate"].append(None)
