@@ -34,8 +34,12 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # corpus replication for the headline run: scales work volume so steady-state
 # throughput dominates fixed startup (urls repeat across replicas; extraction
-# is per-row so throughput semantics are unchanged)
-REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "12"))
+# is per-row so throughput semantics are unchanged). Default 120 (600k docs
+# at sf0.1) — the SAME volume as BASELINE.md's measured rows, so the driver's
+# BENCH_rN / BASELINE comparison is apples-to-apples (round-1 defaulted to
+# 12, leaving the driver's 4-second run startup-dominated and 2.3x under the
+# steady-state baseline; judge finding).
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "120"))
 RUN_QUERIES = os.environ.get("GRAFT_BENCH_QUERIES", "1") != "0"
 # text multiplier: emulate realistic Common-Crawl page sizes (the sf tables
 # carry ~300-char texts; CC main content is ~3-10 KB). 1 = oracle-faithful.

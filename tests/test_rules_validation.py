@@ -263,3 +263,56 @@ class TestSchemaGuards:
         assert round_confidence(1.5) == 1.0
         assert round_confidence(-0.2) == 0.0
         assert round_confidence("x") == 0.0
+
+
+class TestLogprobConfidence:
+    """Reference extraction.py:89-125 edge semantics, preserved exactly."""
+
+    def test_default_when_no_payload(self):
+        from ai_pdf_extraction_ray.functions.confidence import confidence_from_logprobs
+
+        assert confidence_from_logprobs(None) == 0.75
+        assert confidence_from_logprobs([]) == 0.75
+
+    def test_default_when_no_usable_values(self):
+        from ai_pdf_extraction_ray.functions.confidence import confidence_from_logprobs
+
+        class Tok:
+            logprob = None
+
+        assert confidence_from_logprobs([Tok(), Tok()]) == 0.75
+        assert confidence_from_logprobs([None, None]) == 0.75
+
+    def test_geometric_mean(self):
+        import math
+
+        from ai_pdf_extraction_ray.functions.confidence import confidence_from_logprobs
+
+        lps = [math.log(0.9), math.log(0.8), math.log(0.7)]
+        expected = math.exp(sum(lps) / 3)
+        assert abs(confidence_from_logprobs(lps) - expected) < 1e-12
+
+    def test_clamp_minus_ten_before_exp(self):
+        import math
+
+        from ai_pdf_extraction_ray.functions.confidence import confidence_from_logprobs
+
+        # mean -50 clamps to -10 BEFORE exp — the floor is exp(-10), not 0
+        assert confidence_from_logprobs([-50.0]) == math.exp(-10)
+
+    def test_object_and_float_entries_mix(self):
+        import math
+
+        from ai_pdf_extraction_ray.functions.confidence import confidence_from_logprobs
+
+        class Tok:
+            def __init__(self, lp):
+                self.logprob = lp
+
+        got = confidence_from_logprobs([Tok(math.log(0.5)), math.log(0.5), Tok(None)])
+        assert abs(got - 0.5) < 1e-12
+
+    def test_upper_clamp(self):
+        from ai_pdf_extraction_ray.functions.confidence import confidence_from_logprobs
+
+        assert confidence_from_logprobs([0.5]) == 1.0  # positive logprob clamps to 1
