@@ -12,7 +12,8 @@ verbatim:
 - the mean logprob is clamped at -10 BEFORE exponentiation (~5e-5 floor)
 - result clamped to [0, 1]
 
-Entries may be bare floats, None, or objects with a ``logprob`` attribute
+Entries may be bare floats, None, dicts with a ``logprob`` key (the wire
+shape of a JSON-decoded response), or objects with a ``logprob`` attribute
 (the reference receives OpenAI token objects; None logprobs are skipped).
 """
 
@@ -32,7 +33,10 @@ def confidence_from_logprobs(logprobs_data: list[Any] | None) -> float:
 
     log_probs: list[float] = []
     for token_data in logprobs_data:
-        value = getattr(token_data, "logprob", token_data)
+        if isinstance(token_data, dict):
+            value = token_data.get("logprob")
+        else:
+            value = getattr(token_data, "logprob", token_data)
         if value is not None and isinstance(value, (int, float)) and not isinstance(value, bool):
             log_probs.append(float(value))
 

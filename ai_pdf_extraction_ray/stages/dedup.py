@@ -242,12 +242,17 @@ def minhash_near_dups(
     cand = minhash_candidate_pairs(
         docs, num_perm=num_perm, bands=bands, k=k, concurrency=concurrency
     ).materialize()
+    empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                          "doc_b": pd.Series(dtype="int64"),
+                          "jaccard": pd.Series(dtype="float64")})
+    if cand.count() == 0:
+        # schema-less empty block stream would crash the join's key
+        # resolution (review finding) — count() is free on a materialized ds
+        return empty
     verified = verify_pairs_jaccard(cand, docs, k=k)
     out = verified.filter(expr=f"jaccard >= {threshold}").to_pandas()
     if out.empty:
-        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                             "doc_b": pd.Series(dtype="int64"),
-                             "jaccard": pd.Series(dtype="float64")})
+        return empty
     return (out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
             .astype({"doc_a": "int64", "doc_b": "int64"}))
 

@@ -130,7 +130,6 @@ def repair_record(
             # shared half-away-from-zero rounding: repair_completion is
             # oracle-facing, builtin half-even round() would hash-mismatch
             value = py_round(value, 2)
-            value = py_round(value, 2)
             numeric[name] = value
             repaired[name] = {"original": data.get(name), "repaired": value}
             out[name] = value

@@ -132,8 +132,14 @@ def build_ivf_index(
     """Train the coarse quantizer, assign every vector, and persist the
     assignment as parquet PARTITIONED BY list_id (one directory per list).
     Probed reads then touch only nprobe/nlist of the bytes. Returns the
-    centroid matrix (also persisted next to the partitions for reuse)."""
+    centroid matrix (also persisted next to the partitions for reuse).
+
+    ATOMIC: the index is built in a scratch dir and renamed into place as
+    the last step, centroids written first — a crash mid-build can never
+    leave a half-written (or doubly-appended) index that later probes read
+    silently (review finding)."""
     import os
+    import shutil
 
     X = _train_sample(sf_dir, sample_n)
     cents = train_centroids(X, nlist)
@@ -147,20 +153,36 @@ def build_ivf_index(
         concurrency=concurrency,
         num_cpus=1,
     )
-    assigned.write_parquet(index_dir, partition_cols=["list_id"])
-    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    scratch = f"{index_dir}.build.{os.getpid()}"
+    shutil.rmtree(scratch, ignore_errors=True)
+    assigned.write_parquet(scratch, partition_cols=["list_id"])
+    np.save(os.path.join(scratch, "centroids.npy"), cents)
+    shutil.rmtree(index_dir, ignore_errors=True)  # stale/partial loser
+    try:
+        os.rename(scratch, index_dir)
+    except OSError:
+        # a concurrent builder won the rename race — use its (complete) index
+        shutil.rmtree(scratch, ignore_errors=True)
     return cents
 
 
+# bump when train_centroids / IvfAssigner / _train_sample semantics change:
+# the cache key must not let a stale /tmp index outlive the kernel that
+# built it (review finding — goldens pinned from a stale index would be
+# unreproducible on clean hosts)
+IVF_INDEX_VERSION = 2
+
+
 def _ivf_index_dir(sf_dir: str, nlist: int) -> str:
-    """Cache key binds the source file identity (path+size+mtime) so a
-    regenerated corpus invalidates the index."""
+    """Cache key binds the source file identity (path+size+mtime) AND the
+    index-kernel version so both corpus regeneration and code changes
+    invalidate the cached index."""
     import hashlib
     import os
 
     st = os.stat(f"{sf_dir}/embeddings.parquet")
     key = hashlib.md5(
-        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|{nlist}".encode()
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|{nlist}|v{IVF_INDEX_VERSION}".encode()
     ).hexdigest()[:12]
     return f"/tmp/ray_ivf_index_{key}"
 
@@ -172,6 +194,13 @@ def read_probed_lists(index_dir: str, probe: list[int]) -> Dataset:
     files: list[str] = []
     for p in sorted(probe):  # empty lists simply have no directory
         files.extend(sorted(glob.glob(f"{index_dir}/list_id={p}/*.parquet")))
+    if not files:
+        # every probed list is member-less (skewed corpora): zero hits, not
+        # a read_parquet([]) crash (review finding)
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+        }))
     return rd.read_parquet(files, columns=["vec_id", "embedding"])
 
 
@@ -197,6 +226,9 @@ def knn_ivf(
     q_ref = ray.put(q)
 
     def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
         qv = ray.get(q_ref)
         X = _normalize(_emb_matrix(batch))
         cos = X @ qv

@@ -136,12 +136,6 @@ _MASK29 = np.uint64((1 << 29) - 1)
 _MASK61 = np.uint64(_M)
 
 
-def _mod_mersenne(x: np.ndarray) -> np.ndarray:
-    """x mod 2^61-1 for x < 2^62 (one fold + one conditional subtract)."""
-    x = (x & _MASK61) + (x >> np.uint64(61))
-    return np.where(x >= _MASK61, x - _MASK61, x)
-
-
 def rolling_hashes(text: str, k: int = 16) -> np.ndarray:
     """All k-byte rolling polynomial hashes of the utf-8 text (Rabin-Karp).
 

@@ -373,3 +373,24 @@ class TestTextNorm:
         df = clean_documents("/root/testdata/sf0.001").to_pandas()
         assert len(df) == 500
         assert not df.was_cleaned.any()  # the corpus is already clean
+
+
+class TestEmptyCandidates:
+    def test_minhash_no_collisions_returns_typed_empty(self, ray_session, tmp_path):
+        # 2 fully distinct docs: zero LSH candidates must yield a typed
+        # empty frame, not an ArrowInvalid join crash (review finding)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ai_pdf_extraction_ray.stages.dedup import minhash_near_dups
+
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": ["alpha beta gamma delta epsilon zeta",
+                     "one two three four five six seven"],
+        })
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+        out = minhash_near_dups(str(tmp_path), threshold=0.5)
+        assert len(out) == 0
+        assert list(out.columns) == ["doc_a", "doc_b", "jaccard"]
+        assert out.doc_a.dtype == "int64"

@@ -316,3 +316,12 @@ class TestLogprobConfidence:
         from ai_pdf_extraction_ray.functions.confidence import confidence_from_logprobs
 
         assert confidence_from_logprobs([0.5]) == 1.0  # positive logprob clamps to 1
+
+    def test_dict_entries(self):
+        import math
+
+        from ai_pdf_extraction_ray.functions.confidence import confidence_from_logprobs
+
+        got = confidence_from_logprobs([{"logprob": math.log(0.25)},
+                                        {"logprob": None}])
+        assert abs(got - 0.25) < 1e-12
