@@ -1047,6 +1047,56 @@ def q_media_audio_video(sf_dir: str) -> pd.DataFrame:
     return pd.concat([audio_summary, video_summary], ignore_index=True)
 
 
+def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Heavy hitters: exact corpus-wide top-20 tokens via the two-pass
+    Misra-Gries shape (per-batch mergeable sketch -> candidate set ->
+    broadcast candidates -> exact partial counts -> tiny groupby). The
+    shuffle never carries token rows — only <=256-entry sketches and
+    candidate partial counts (the canonical 100 TB frequent-items plan)."""
+    from ..stages.sketches import heavy_hitters
+
+    ds = _docs(sf_dir, ["text"])
+    return heavy_hitters(ds, "text", top_k=20, capacity=256)
+
+
+def q_knn_multiquery(sf_dir: str) -> pd.DataFrame:
+    """Batched ANN: top-10 for 5 query vectors in ONE corpus scan (broadcast
+    query matrix, per-batch (n x d) @ (d x 5) matmul, per-query partial
+    top-k merge)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import knn_multiquery
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qrows = emb.filter(pc.less(emb.column("vec_id"), 5))
+    order = np.argsort(qrows.column("vec_id").to_numpy(zero_copy_only=False))
+    Q = np.stack(qrows.column("embedding").to_pylist())[order]
+    return knn_multiquery(sf_dir, Q, k=10, query_ids=list(range(5)))
+
+
+def q_stratified_sample(sf_dir: str) -> Dataset:
+    """Stratified deterministic sampling: the first 5 events per event_type
+    in (ts, event_id) order — per-batch partial head(5) per stratum before
+    the shuffle (same discipline as first_event_per_user), then the
+    per-stratum head in a small groupby. The reference's representative-page
+    sampler (pdf_service.py:203-283) restated as a per-key dataset op."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def local_head(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.sort_values(["ts", "event_id"], kind="mergesort")
+                .groupby("event_type", as_index=False).head(5))
+
+    def head5(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["ts", "event_id"], kind="mergesort").head(5)
+
+    return (
+        ds.map_batches(local_head, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(head5, batch_format="pandas")
+    )
+
+
 def q_repair_completion(sf_dir: str) -> Dataset:
     """T3 smart repair: drop tax_amount from the extracted record, let the
     rule solver recompute it from ``total_amount == subtotal + tax_amount``
@@ -1659,6 +1709,46 @@ QUERIES: dict[str, dict] = {
     },
     "simhash_near_dups": {"fn": q_simhash_near_dups, "sql": GOLDEN_SQL["simhash_near_dups"]},
     "knn_ivf": {"fn": q_knn_ivf, "sql": GOLDEN_SQL["knn_ivf"]},
+    "heavy_hitters": {
+        "fn": q_heavy_hitters,
+        "sql": r"""
+            SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS token
+                FROM documents) t
+            GROUP BY token ORDER BY n DESC, token LIMIT 20
+        """,
+    },
+    "knn_multiquery": {
+        "fn": q_knn_multiquery,
+        "sql": """
+            SELECT query_id, vec_id, cos FROM (
+                SELECT q.vec_id AS query_id, e.vec_id,
+                       CAST(round((list_cosine_similarity(
+                            CAST(q.embedding AS DOUBLE[]),
+                            CAST(e.embedding AS DOUBLE[]))) * 1000000) AS BIGINT)
+                           / 1000000.0 AS cos,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY CAST(round((list_cosine_similarity(
+                                CAST(q.embedding AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[]))) * 1000000) AS BIGINT)
+                                    / 1000000.0 DESC, e.vec_id) AS rn
+                FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+                WHERE q.vec_id < 5) ranked
+            WHERE rn <= 10
+        """,
+    },
+    "stratified_sample": {
+        "fn": q_stratified_sample,
+        "sql": """
+            SELECT event_id, ts, user_id, event_type FROM (
+                SELECT event_id, ts, user_id, event_type,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY ts, event_id) AS rn
+                FROM events) t
+            WHERE rn <= 5
+        """,
+    },
     "embedding_dup_pairs": {
         "fn": q_embedding_dup_pairs,
         "sql": """

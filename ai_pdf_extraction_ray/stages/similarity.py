@@ -79,6 +79,60 @@ def knn_flat(
     )
 
 
+def knn_multiquery(
+    sf_dir: str, queries: np.ndarray, k: int = 10, *, exclude_self: bool = True,
+    query_ids: list[int] | None = None,
+) -> pd.DataFrame:
+    """Batched exact top-k: ONE scan answers M queries (the batched-inference
+    shape — per-batch (n x d) @ (d x M) matmul against a broadcast query
+    matrix; the shuffle carries M*k partial rows per batch, never vectors).
+
+    Returns (query_id, vec_id, cos) with k rows per query, ordered by
+    rounded cos desc then vec_id (the oracle's exact tie-break)."""
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids if query_ids is not None else range(len(Q)),
+                      dtype=np.int64)
+    q_ref = ray.put((Q, qids))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        Qm, ids_q = ray.get(q_ref)
+        X = _normalize(_emb_matrix(batch))
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        cos = np_round(X @ Qm.T, 6)  # (n, M), rounded BEFORE selection
+        out_q, out_v, out_c = [], [], []
+        for m, qid in enumerate(ids_q):
+            col, vid = cos[:, m], ids
+            if exclude_self:
+                mask = vid != qid
+                col, vid = col[mask], vid[mask]
+            order = np.lexsort((vid, -col))[: min(k, len(vid))]
+            out_q.append(np.full(len(order), qid, dtype=np.int64))
+            out_v.append(vid[order])
+            out_c.append(col[order])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "cos": pa.array(np.concatenate(out_c), pa.float64()),
+        })
+
+    partials = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(local_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return (
+        partials.sort_values(["query_id", "cos", "vec_id"],
+                             ascending=[True, False, True])
+        .groupby("query_id", as_index=False, sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF
 # ---------------------------------------------------------------------------

@@ -62,6 +62,102 @@ def hll_merge(sketches: list[bytes]) -> np.ndarray:
     return regs
 
 
+def mg_add(counters: dict, items: list, capacity: int) -> None:
+    """Misra-Gries update in place: any item with frequency > N/capacity is
+    guaranteed to survive in ``counters`` (the classic deterministic
+    heavy-hitter sketch; public algorithm)."""
+    for x in items:
+        if x in counters:
+            counters[x] += 1
+        elif len(counters) < capacity:
+            counters[x] = 1
+        else:
+            dead = [key for key in counters if counters[key] == 1]
+            for key in dead:
+                del counters[key]
+            for key in counters:
+                counters[key] -= 1
+
+
+def mg_merge(sketches: list[dict], capacity: int) -> dict:
+    """Merge MG sketches: sum counts, then decrement-and-prune back to
+    capacity (Agarwal et al. mergeable-summaries result — the union keeps
+    the same frequency guarantee)."""
+    total: dict = {}
+    for s in sketches:
+        for key, c in s.items():
+            total[key] = total.get(key, 0) + c
+    if len(total) > capacity:
+        threshold = sorted(total.values(), reverse=True)[capacity]
+        total = {key: c - threshold for key, c in total.items() if c > threshold}
+    return total
+
+
+def heavy_hitters(
+    ds: Dataset, tokenize_col: str, *, top_k: int = 20, capacity: int = 256
+) -> pd.DataFrame:
+    """Exact corpus-wide top-k tokens via the two-pass MG shape:
+
+    pass 1 — one MG sketch per batch (map_batches), merged on the driver
+    (sketches are <= capacity entries each; at 100 TB this is a tree-merge
+    over tiny dicts, never token rows);
+    pass 2 — EXACT counts for the surviving candidates only: candidates
+    broadcast via ``ray.put``, per-batch filtered partial counts, tiny
+    groupby. Result is exactly the true top-k whenever every true top-k
+    token has frequency > N/capacity (guaranteed for boilerplate-heavy
+    corpora; the guarantee is the documented partitioning assumption).
+
+    Returns (token, n) — top_k rows, ties broken by token asc.
+    """
+    import re
+
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    token_re = re.compile(r"\S+")
+
+    def sketch_batch(b: pa.Table) -> pa.Table:
+        counters: dict = {}
+        for t in b.column(tokenize_col).to_pylist():
+            mg_add(counters, token_re.findall((t or "").lower()), capacity)
+        import json
+
+        return pa.table({"sketch": pa.array([json.dumps(counters)], pa.string())})
+
+    import json
+
+    sketch_rows = ds.map_batches(sketch_batch, batch_format="pyarrow").to_pandas()
+    merged = mg_merge([json.loads(s) for s in sketch_rows.sketch], capacity)
+    candidates = frozenset(merged)
+    cand_ref = ray.put(candidates)
+
+    def exact_partial(b: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        counts: dict = {}
+        for t in b.column(tokenize_col).to_pylist():
+            for tok in token_re.findall((t or "").lower()):
+                if tok in cand:
+                    counts[tok] = counts.get(tok, 0) + 1
+        return pa.table({
+            "token": pa.array(list(counts), pa.string()),
+            "n_part": pa.array(list(counts.values()), pa.int64()),
+        })
+
+    exact = (
+        ds.map_batches(exact_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()
+    )
+    exact["n"] = exact["n"].astype("int64")
+    return (
+        exact.sort_values(["n", "token"], ascending=[False, True])
+        .head(top_k)
+        .reset_index(drop=True)
+    )
+
+
 def approx_distinct(
     ds: Dataset, key_col: str, value_col: str
 ) -> pd.DataFrame:

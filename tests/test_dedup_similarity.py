@@ -394,3 +394,53 @@ class TestEmptyCandidates:
         assert len(out) == 0
         assert list(out.columns) == ["doc_a", "doc_b", "jaccard"]
         assert out.doc_a.dtype == "int64"
+
+
+class TestHeavyHitters:
+    def test_mg_guarantee_and_merge(self):
+        from ai_pdf_extraction_ray.stages.sketches import mg_add, mg_merge
+
+        # planted skew: 'hot' appears 400x, 'warm' 150x, tail singletons
+        stream = ["hot"] * 400 + ["warm"] * 150 + [f"t{i}" for i in range(800)]
+        import random
+
+        random.Random(3).shuffle(stream)
+        # split across 4 "batches", sketch each, merge
+        sketches = []
+        for i in range(4):
+            c: dict = {}
+            mg_add(c, stream[i * 338:(i + 1) * 338], capacity=16)
+            sketches.append(c)
+        merged = mg_merge(sketches, capacity=16)
+        # MG guarantee: anything with freq > N/capacity (=84) must survive
+        assert "hot" in merged and "warm" in merged
+        assert len(merged) <= 16
+
+    def test_heavy_hitters_exact_topk(self, ray_session):
+        import ray.data as rd
+
+        from ai_pdf_extraction_ray.stages.sketches import heavy_hitters
+
+        docs = pd.DataFrame({
+            "text": (["alpha beta gamma"] * 50 + ["beta gamma"] * 30
+                     + [f"rare{i}" for i in range(40)]),
+        })
+        out = heavy_hitters(rd.from_pandas(docs), "text", top_k=3, capacity=32)
+        assert out.token.tolist() == ["beta", "gamma", "alpha"]
+        assert out.n.tolist() == [80, 80, 50]
+
+
+class TestMultiQuery:
+    def test_matches_per_query_flat(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from ai_pdf_extraction_ray.stages.similarity import knn_flat, knn_multiquery
+
+        emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+        X = np.stack(emb.embedding.values).astype(np.float64)
+        got = knn_multiquery(SF, X[:3], k=5, query_ids=[0, 1, 2])
+        for qid in range(3):
+            expect = knn_flat(SF, X[qid], k=5, exclude={qid})
+            sub = got[got.query_id == qid]
+            assert sub.vec_id.tolist() == expect.vec_id.tolist(), qid
+            assert np.allclose(sub.cos.to_numpy(), expect.cos.to_numpy())
