@@ -6,6 +6,12 @@ nothing here (or in the library) calls ``ray.init()``/``ray.shutdown()``.
 - ``entry()``      — flagship pipeline at sf0.001 (smoke check)
 - ``queries()``    — one callable per implemented operator (SURVEY.md §2)
 - ``oracle_sql()`` — DuckDB-equivalent SQL per query where SQL-expressible
+
+NOTE: Ray WORKER processes must also be able to import
+``ai_pdf_extraction_ray`` — run the driver with cwd=/root/repo (or the repo
+on PYTHONPATH before ``ray.init``). A driver-side ``sys.path`` insert alone
+reaches only the driver process; actor-pool stages deserialize the kernel
+classes by module reference inside workers.
 """
 
 from __future__ import annotations

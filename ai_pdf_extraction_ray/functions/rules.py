@@ -147,3 +147,48 @@ def evaluate_rule(
 def extract_field_names_from_rule(rule: str) -> set[str]:
     """Identifier harvest (lowercased) minus keywords/allowed functions."""
     return {n.lower() for n in extract_rule_identifiers(rule)}
+
+
+# ---------------------------------------------------------------------------
+# legacy back-compat surface (reference validation.py:244-285)
+# ---------------------------------------------------------------------------
+
+def parse_validation_rule_legacy(
+    rule: str,
+) -> tuple[str, list[tuple[str, str]]] | None:
+    """Reference ``_parse_validation_rule`` (validation.py:245-273), exact
+    semantics including its quirks: splits the RHS on any of ``+-*/`` but
+    records EVERY component with a '+' sign (the operator is discarded — a
+    reference behavior its own tests pin, preserved verbatim), and returns
+    None unless the rule contains exactly one ``==``."""
+    rule = rule.strip()
+    if "==" not in rule:
+        return None
+    parts = rule.split("==")
+    if len(parts) != 2:
+        return None
+    result_field = parts[0].strip()
+    expression = parts[1].strip()
+    operators = "+-*/"
+    components: list[tuple[str, str]] = []
+    current = ""
+    for char in expression:
+        if char in operators:
+            if current.strip():
+                components.append(("+", current.strip()))
+            current = ""
+        else:
+            current += char
+    if current.strip():
+        components.append(("+", current.strip()))
+    return (result_field, components)
+
+
+def evaluate_validation_rule_legacy(
+    rule: str, values: dict[str, float]
+) -> tuple[bool, str, float | None, float | None]:
+    """Reference ``_evaluate_validation_rule`` (validation.py:276-285):
+    delegates to the modern evaluator and pads (None, None) expected/actual
+    slots — the legacy return shape its tests depend on."""
+    success, message, _failed = evaluate_rule(rule, values)
+    return (success, message, None, None)

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "token_quality",
     "knn_bruteforce",
     "embedding_dup_pairs",
+    "heavy_hitters",
 ]
 
 

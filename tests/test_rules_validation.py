@@ -325,3 +325,41 @@ class TestLogprobConfidence:
         got = confidence_from_logprobs([{"logprob": math.log(0.25)},
                                         {"logprob": None}])
         assert abs(got - 0.25) < 1e-12
+
+
+class TestLegacyRuleParser:
+    """Reference validation.py:244-285 back-compat surface, quirks preserved."""
+
+    def test_parse_shape(self):
+        from ai_pdf_extraction_ray.functions.rules import parse_validation_rule_legacy
+
+        got = parse_validation_rule_legacy("total == subtotal + tax")
+        assert got == ("total", [("+", "subtotal"), ("+", "tax")])
+
+    def test_sign_discarding_quirk(self):
+        # the reference parser records '-'/'*'/'/' components as '+' — its
+        # own tests pin this; preserved verbatim
+        from ai_pdf_extraction_ray.functions.rules import parse_validation_rule_legacy
+
+        got = parse_validation_rule_legacy("net == gross - fees * 2")
+        assert got == ("net", [("+", "gross"), ("+", "fees"), ("+", "2")])
+
+    def test_rejects_malformed(self):
+        from ai_pdf_extraction_ray.functions.rules import parse_validation_rule_legacy
+
+        assert parse_validation_rule_legacy("no equality here") is None
+        assert parse_validation_rule_legacy("a == b == c") is None
+
+    def test_legacy_evaluate_delegates(self):
+        from ai_pdf_extraction_ray.functions.rules import evaluate_validation_rule_legacy
+
+        ok, msg, exp, act = evaluate_validation_rule_legacy(
+            "total == subtotal + tax",
+            {"total": 110.0, "subtotal": 100.0, "tax": 10.0},
+        )
+        assert ok and exp is None and act is None
+        bad, msg, _, _ = evaluate_validation_rule_legacy(
+            "total == subtotal + tax",
+            {"total": 200.0, "subtotal": 100.0, "tax": 10.0},
+        )
+        assert not bad and "Math validation failed" in msg
