@@ -1047,6 +1047,26 @@ def q_media_audio_video(sf_dir: str) -> pd.DataFrame:
     return pd.concat([audio_summary, video_summary], ignore_index=True)
 
 
+def q_schema_listing(sf_dir: str) -> pd.DataFrame:
+    """O2: schema listing ordered created_at DESC (reference
+    routers/schemas.py:114-118). Builds a deterministic registry (the
+    built-in invoice schema + the schema discovered from the corpus sample)
+    and lists it — content is reproducible, so the oracle is exact."""
+    import hashlib as _hashlib
+
+    from ..stages.discovery import discover_schema
+    from ..state.schema_registry import list_schemas, save_schema
+
+    reg = f"/tmp/ray_schema_registry_{_hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    import shutil as _shutil
+
+    _shutil.rmtree(reg, ignore_errors=True)
+    save_schema(reg, INVOICE_SCHEMA, created_at="2024-01-01T00:00:00")
+    discovered = discover_schema(pages_dataset(sf_dir), sample_size=6)
+    save_schema(reg, discovered, created_at="2024-02-01T00:00:00")
+    return list_schemas(reg)
+
+
 def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     """Heavy hitters: exact corpus-wide top-20 tokens via the two-pass
     Misra-Gries shape (per-batch mergeable sketch -> candidate set ->
@@ -1709,6 +1729,16 @@ QUERIES: dict[str, dict] = {
     },
     "simhash_near_dups": {"fn": q_simhash_near_dups, "sql": GOLDEN_SQL["simhash_near_dups"]},
     "knn_ivf": {"fn": q_knn_ivf, "sql": GOLDEN_SQL["knn_ivf"]},
+    "schema_listing": {
+        "fn": q_schema_listing,
+        "sql": """
+            SELECT * FROM (VALUES
+                (CAST('Invoice Schema' AS VARCHAR), CAST('1.0' AS VARCHAR),
+                 CAST(6 AS BIGINT), CAST('2024-02-01T00:00:00' AS VARCHAR)),
+                ('invoice', '1.0', 7, '2024-01-01T00:00:00')
+            ) AS t(name, version, n_fields, created_at)
+        """,
+    },
     "heavy_hitters": {
         "fn": q_heavy_hitters,
         "sql": r"""

@@ -196,6 +196,18 @@ def verify_pairs_jaccard(
     matched texts, never the whole corpus to the driver), then compute
     word-k-gram Jaccard per batch. Replaces the round-1 driver-side
     candidate/text materialization (judge finding: unbounded at 100 TB)."""
+    def _typed(b: pa.Table) -> pa.Table:
+        # groupby().map_groups emits SCHEMA-LESS empty blocks for empty
+        # groups; the hash-shuffle join resolves key fields per block and
+        # intermittently dies with ArrowInvalid on them (observed flake).
+        # Coerce every block — including empty ones — to the pair schema.
+        if "doc_a" not in b.column_names:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        return pa.table({"doc_a": b.column("doc_a").cast(pa.int64()),
+                         "doc_b": b.column("doc_b").cast(pa.int64())})
+
+    cand = cand.map_batches(_typed, batch_format="pyarrow")
     with_a = cand.join(
         docs, join_type="inner", num_partitions=num_partitions,
         on=("doc_a",), right_on=("doc_id",),
@@ -249,8 +261,26 @@ def minhash_near_dups(
         # schema-less empty block stream would crash the join's key
         # resolution (review finding) — count() is free on a materialized ds
         return empty
-    verified = verify_pairs_jaccard(cand, docs, k=k)
-    out = verified.filter(expr=f"jaccard >= {threshold}").to_pandas()
+    # Ray 2.49's hash-shuffle join has a rare race where a partition whose
+    # aggregator never received the schema-seed shard finalizes a
+    # column-less table and pa.Table.join dies with ArrowInvalid
+    # ("No match ... FieldRef.Name(doc_a)"). Blocks are schema-normalized
+    # upstream (verify_pairs_jaccard._typed), which leaves a ~10% residual
+    # flake at tiny candidate counts; re-planning from the MATERIALIZED
+    # candidate set is cheap and deterministic, so retry.
+    last_err: Exception | None = None
+    out = None
+    for _ in range(3):
+        try:
+            verified = verify_pairs_jaccard(cand, docs, k=k)
+            out = verified.filter(expr=f"jaccard >= {threshold}").to_pandas()
+            break
+        except Exception as e:  # noqa: BLE001 — Ray wraps ArrowInvalid deeply
+            if "ArrowInvalid" not in repr(e) and "FieldRef" not in repr(e):
+                raise
+            last_err = e
+    if out is None:
+        raise last_err  # three consecutive shuffle races: give up loudly
     if out.empty:
         return empty
     return (out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

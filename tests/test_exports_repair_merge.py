@@ -217,3 +217,47 @@ class TestExportEndToEnd:
         assert env["total_documents"] == 20
         assert 0 < env["average_confidence"] <= 1
         assert env["results"][0]["detected_schema"] == "invoice"
+
+
+class TestSchemaRegistry:
+    def test_save_list_load_roundtrip(self, tmp_path):
+        from ai_pdf_extraction_ray.schema import FieldDefinition, FieldType, SchemaDefinition
+        from ai_pdf_extraction_ray.state.schema_registry import (
+            list_schemas,
+            load_schema,
+            save_schema,
+        )
+
+        a = SchemaDefinition(name="alpha", version="1.0",
+                             fields=[FieldDefinition("x", FieldType.STRING)])
+        b = SchemaDefinition(name="beta", version="2.0",
+                             fields=[FieldDefinition("y", FieldType.NUMBER),
+                                     FieldDefinition("z", FieldType.DATE)])
+        reg = str(tmp_path / "reg")
+        save_schema(reg, a, created_at="2024-01-01T00:00:00")
+        save_schema(reg, b, created_at="2024-03-01T00:00:00")
+        df = list_schemas(reg)
+        # newest first (reference ORDER BY created_at DESC)
+        assert df.name.tolist() == ["beta", "alpha"]
+        assert df.n_fields.tolist() == [2, 1]
+        back = load_schema(reg, "beta", "2.0")
+        assert back.field_names == ["y", "z"]
+
+    def test_resave_overwrites_not_duplicates(self, tmp_path):
+        from ai_pdf_extraction_ray.schema import FieldDefinition, SchemaDefinition
+        from ai_pdf_extraction_ray.state.schema_registry import list_schemas, save_schema
+
+        reg = str(tmp_path / "reg")
+        s = SchemaDefinition(name="dup", fields=[FieldDefinition("f")])
+        save_schema(reg, s, created_at="2024-01-01T00:00:00")
+        save_schema(reg, s, created_at="2024-06-01T00:00:00")
+        df = list_schemas(reg)
+        assert len(df) == 1
+        assert df.created_at.iloc[0] == "2024-06-01T00:00:00"
+
+    def test_empty_registry(self, tmp_path):
+        from ai_pdf_extraction_ray.state.schema_registry import list_schemas
+
+        df = list_schemas(str(tmp_path / "missing"))
+        assert len(df) == 0
+        assert list(df.columns) == ["name", "version", "n_fields", "created_at"]
