@@ -257,30 +257,23 @@ def minhash_near_dups(
     empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                           "doc_b": pd.Series(dtype="int64"),
                           "jaccard": pd.Series(dtype="float64")})
-    if cand.count() == 0:
+    n_pairs = cand.count()
+    if n_pairs == 0:
         # schema-less empty block stream would crash the join's key
         # resolution (review finding) — count() is free on a materialized ds
         return empty
-    # Ray 2.49's hash-shuffle join has a rare race where a partition whose
-    # aggregator never received the schema-seed shard finalizes a
-    # column-less table and pa.Table.join dies with ArrowInvalid
-    # ("No match ... FieldRef.Name(doc_a)"). Blocks are schema-normalized
-    # upstream (verify_pairs_jaccard._typed), which leaves a ~10% residual
-    # flake at tiny candidate counts; re-planning from the MATERIALIZED
-    # candidate set is cheap and deterministic, so retry.
-    last_err: Exception | None = None
-    out = None
-    for _ in range(3):
-        try:
-            verified = verify_pairs_jaccard(cand, docs, k=k)
-            out = verified.filter(expr=f"jaccard >= {threshold}").to_pandas()
-            break
-        except Exception as e:  # noqa: BLE001 — Ray wraps ArrowInvalid deeply
-            if "ArrowInvalid" not in repr(e) and "FieldRef" not in repr(e):
-                raise
-            last_err = e
-    if out is None:
-        raise last_err  # three consecutive shuffle races: give up loudly
+    # Ray 2.49 hazard (diagnosed): groupby().map_groups emits SCHEMA-LESS
+    # empty blocks, and map_batches does NOT invoke the UDF on empty blocks,
+    # so they survive any normalization stage. If such a block happens to be
+    # the FIRST one the hash-shuffle join shuffles, the join broadcasts the
+    # empty schema as its seed and partitions holding only seed shards
+    # finalize column-less -> pa.Table.join dies with ArrowInvalid
+    # ("No match ... FieldRef.Name(doc_a)") — deterministically for that
+    # session. Repartitioning the counted candidate set into guaranteed
+    # non-empty blocks removes every empty block before the join.
+    cand = cand.repartition(max(1, -(-n_pairs // 65536))).materialize()
+    verified = verify_pairs_jaccard(cand, docs, k=k)
+    out = verified.filter(expr=f"jaccard >= {threshold}").to_pandas()
     if out.empty:
         return empty
     return (out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
