@@ -1047,6 +1047,45 @@ def q_media_audio_video(sf_dir: str) -> pd.DataFrame:
     return pd.concat([audio_summary, video_summary], ignore_index=True)
 
 
+def q_embedding_near_dups_lsh(sf_dir: str) -> pd.DataFrame:
+    """Embedding near-dup via random-hyperplane LSH blocking (the
+    content-blind scale path; label-blocked exact form is
+    ``embedding_dup_pairs``). Params sized for the driver corpus's cosine
+    range (bits=4 x 16 tables recalls 55 of the 59 true pairs at 0.4 —
+    approximate by construction, deterministic given the seed; golden
+    oracle pins the exact pair set)."""
+    from ..stages.dedup import embedding_near_dups_lsh
+
+    return embedding_near_dups_lsh(sf_dir, threshold=0.4, bits=4, tables=16)
+
+
+def q_quantiles(sf_dir: str) -> Dataset:
+    """Exact per-key quantiles (p50/p90/p99 of event value per event_type):
+    groupby + in-group sorted selection with percentile_disc semantics
+    (element at ceil(p*n) in 1-based rank order). Keys are low-cardinality,
+    so each group fits a worker; for high-cardinality or giant keys the
+    scale path is a mergeable quantile sketch — this operator is the exact
+    small-key form with its partitioning assumption documented."""
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def qtiles(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy())
+        n = len(v)
+
+        def disc(p: float) -> float:
+            return float(v[max(0, int(np.ceil(p * n)) - 1)])
+
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n": np.array([n], dtype=np.int64),
+            "p50": [_py_round(disc(0.50), 2)],
+            "p90": [_py_round(disc(0.90), 2)],
+            "p99": [_py_round(disc(0.99), 2)],
+        })
+
+    return ds.groupby("event_type").map_groups(qtiles, batch_format="pandas")
+
+
 def q_schema_listing(sf_dir: str) -> pd.DataFrame:
     """O2: schema listing ordered created_at DESC (reference
     routers/schemas.py:114-118). Builds a deterministic registry (the
@@ -1729,6 +1768,23 @@ QUERIES: dict[str, dict] = {
     },
     "simhash_near_dups": {"fn": q_simhash_near_dups, "sql": GOLDEN_SQL["simhash_near_dups"]},
     "knn_ivf": {"fn": q_knn_ivf, "sql": GOLDEN_SQL["knn_ivf"]},
+    # .get: tools/make_value_goldens.py must be importable BEFORE this
+    # query's golden exists (bootstrap order)
+    "embedding_near_dups_lsh": {
+        "fn": q_embedding_near_dups_lsh,
+        "sql": GOLDEN_SQL.get("embedding_near_dups_lsh"),
+    },
+    "quantiles": {
+        "fn": q_quantiles,
+        "sql": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(round((quantile_disc(value, 0.50)) * 100) AS BIGINT) / 100.0 AS p50,
+                   CAST(round((quantile_disc(value, 0.90)) * 100) AS BIGINT) / 100.0 AS p90,
+                   CAST(round((quantile_disc(value, 0.99)) * 100) AS BIGINT) / 100.0 AS p99
+            FROM events GROUP BY event_type
+        """,
+    },
     "schema_listing": {
         "fn": q_schema_listing,
         "sql": """

@@ -84,6 +84,17 @@ def jaccard(a: set[int], b: set[int]) -> float:
 BUCKET_CAP = 512
 
 
+def _join_partitions(cap: int = 16) -> int:
+    """Hash-join partition count sized to the cluster: each partition runs
+    a HashShuffleAggregator actor, and over-provisioning them beyond the
+    CPU count starves/deadlocks the co-scheduled map stages on small
+    clusters (observed: 16 partitions hang a 4-cpu test session)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, min(cap, cpus))
+
+
 class MinHasher:
     """Actor-pool stage: text -> minhash signature + band hashes.
 
@@ -189,7 +200,7 @@ def minhash_candidate_pairs(
 
 
 def verify_pairs_jaccard(
-    cand: Dataset, docs: Dataset, *, k: int = 3, num_partitions: int = 16
+    cand: Dataset, docs: Dataset, *, k: int = 3, num_partitions: int | None = None
 ) -> Dataset:
     """Distributed exact-Jaccard verify: join candidate id pairs back to the
     corpus for each side (``Dataset.join`` — the join moves candidate rows +
@@ -208,6 +219,8 @@ def verify_pairs_jaccard(
                          "doc_b": b.column("doc_b").cast(pa.int64())})
 
     cand = cand.map_batches(_typed, batch_format="pyarrow")
+    if num_partitions is None:
+        num_partitions = _join_partitions()
     with_a = cand.join(
         docs, join_type="inner", num_partitions=num_partitions,
         on=("doc_a",), right_on=("doc_id",),
@@ -437,6 +450,144 @@ def simhash_near_dups(sf_dir: str, *, max_hamming: int = 3,
         .reset_index(drop=True)
         .astype({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup via random-hyperplane LSH (the bucketed scale path)
+# ---------------------------------------------------------------------------
+
+class HyperplaneHasher:
+    """Actor-pool stage: embedding -> (table_id, bucket, vec_id) rows.
+
+    ``tables`` independent sign-random-projection tables of ``bits``
+    hyperplanes each (seeded; planes generated once per actor on the first
+    batch, when the dimensionality is known). Collision probability per
+    table for angle theta is (1 - theta/pi)^bits — multiple tables buy
+    recall. The shuffle carries only (int16, int32, int64) triples; vectors
+    never move."""
+
+    def __init__(self, bits: int = 8, tables: int = 8, seed: int = 7) -> None:
+        self.bits, self.tables, self.seed = bits, tables, seed
+        self.planes: np.ndarray | None = None  # (tables, bits, dim), lazy
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        if self.planes is None:
+            rng = np.random.RandomState(self.seed)
+            self.planes = rng.normal(size=(self.tables, self.bits, X.shape[1]))
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        weights = (1 << np.arange(self.bits, dtype=np.int64))
+        out_t, out_b, out_v = [], [], []
+        for t in range(self.tables):
+            bits = (X @ self.planes[t].T > 0)
+            buckets = bits @ weights  # packed signature per vector
+            out_t.append(np.full(len(ids), t, dtype=np.int16))
+            out_b.append(buckets.astype(np.int32))
+            out_v.append(ids.astype(np.int64))
+        return pa.table({
+            "table_id": pa.array(np.concatenate(out_t), pa.int16()),
+            "bucket": pa.array(np.concatenate(out_b), pa.int32()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+        })
+
+
+def embedding_near_dups_lsh(
+    sf_dir: str, *, threshold: float = 0.9, bits: int = 8, tables: int = 8,
+    concurrency: int = 2, bucket_cap: int = BUCKET_CAP,
+) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane LSH blocking + exact
+    cosine verify — the content-blind scale path next to the label-blocked
+    exact form (queries.q_embedding_dup_pairs).
+
+    Candidates: explode to (table, bucket, vec_id), ONE groupby over
+    (table, bucket) emits capped in-bucket pairs, a second groupby dedupes
+    across tables. Verify: pairs join back to the embeddings twice
+    (Dataset.join — vectors move once per side, candidates only), exact
+    cosine per batch, threshold filter. Recall is approximate by
+    construction (1-(1-(1-theta/pi)^bits)^tables per pair)."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    banded = emb.map_batches(
+        HyperplaneHasher,
+        fn_constructor_kwargs={"bits": bits, "tables": tables},
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["vec_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64")})
+        ids = ids[:bucket_cap]  # capped all-pairs (degenerate-bucket guard)
+        ia, ib = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"vec_a": ids[ia], "vec_b": ids[ib]})
+
+    cand = (
+        banded.groupby(["table_id", "bucket"]).map_groups(pairs, batch_format="pandas")
+        .groupby(["vec_a", "vec_b"]).map_groups(lambda g: g.head(1),
+                                                batch_format="pandas")
+        .materialize()
+    )
+    empty = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                          "vec_b": pd.Series(dtype="int64"),
+                          "cos": pd.Series(dtype="float64")})
+    n_pairs = cand.count()
+    if n_pairs == 0:
+        return empty
+    # guaranteed non-empty blocks before the joins (see minhash_near_dups:
+    # schema-less map_groups blocks must not seed the join's schema broadcast)
+    cand = cand.repartition(max(1, -(-n_pairs // 65536))).materialize()
+
+    # pa.Table.join rejects list-typed non-key columns, so vectors ride the
+    # join as packed float32 BINARY and unpack in the verify kernel
+    def pack(b: pa.Table) -> pa.Table:
+        X = np.stack(b.column("embedding").to_pylist()).astype(np.float32)
+        return pa.table({
+            "vec_id": b.column("vec_id"),
+            "emb_bytes": pa.array([row.tobytes() for row in X], pa.binary()),
+        })
+
+    packed = emb.map_batches(pack, batch_format="pyarrow")
+    nparts = _join_partitions()
+    with_a = cand.join(
+        packed, join_type="inner", num_partitions=nparts, on=("vec_a",),
+        right_on=("vec_id",),
+    ).rename_columns({"emb_bytes": "emb_a"})
+    with_ab = with_a.join(
+        packed, join_type="inner", num_partitions=nparts, on=("vec_b",),
+        right_on=("vec_id",),
+    ).rename_columns({"emb_bytes": "emb_b"})
+
+    def cos_batch(b: pa.Table) -> pa.Table:
+        A = np.stack([np.frombuffer(x, dtype=np.float32)
+                      for x in b.column("emb_a").to_pylist()]).astype(np.float64)
+        B = np.stack([np.frombuffer(x, dtype=np.float32)
+                      for x in b.column("emb_b").to_pylist()]).astype(np.float64)
+        A = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+        B = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+        cos = shared_np_round((A * B).sum(axis=1), 6)
+        return pa.table({
+            "vec_a": b.column("vec_a"),
+            "vec_b": b.column("vec_b"),
+            "cos": pa.array(cos, pa.float64()),
+        })
+
+    def cos_batch_safe(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"vec_a": pa.array([], pa.int64()),
+                             "vec_b": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        return cos_batch(b)
+
+    out = (
+        with_ab.map_batches(cos_batch_safe, batch_format="pyarrow")
+        .filter(expr=f"cos >= {threshold}")
+        .to_pandas()
+    )
+    if out.empty:
+        return empty
+    return (out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+            .astype({"vec_a": "int64", "vec_b": "int64"}))
 
 
 # ---------------------------------------------------------------------------

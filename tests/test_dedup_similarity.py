@@ -444,3 +444,31 @@ class TestMultiQuery:
             sub = got[got.query_id == qid]
             assert sub.vec_id.tolist() == expect.vec_id.tolist(), qid
             assert np.allclose(sub.cos.to_numpy(), expect.cos.to_numpy())
+
+
+class TestEmbeddingLsh:
+    def test_planted_duplicates_found(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ai_pdf_extraction_ray.stages.dedup import embedding_near_dups_lsh
+
+        rng = np.random.RandomState(11)
+        X = rng.normal(size=(200, 16)).astype(np.float32)
+        X[150] = X[3]                      # exact duplicate pair (3, 150)
+        X[151] = X[7] + rng.normal(scale=0.01, size=16).astype(np.float32)  # near-dup (7, 151)
+        tbl = pa.table({
+            "vec_id": pa.array(np.arange(200), pa.int64()),
+            "embedding": pa.array([row.tolist() for row in X],
+                                  pa.list_(pa.float32())),
+        })
+        pq.write_table(tbl, tmp_path / "embeddings.parquet")
+        out = embedding_near_dups_lsh(str(tmp_path), threshold=0.95,
+                                      bits=8, tables=8)
+        found = set(map(tuple, out[["vec_a", "vec_b"]].to_numpy()))
+        # exact duplicates share every bucket in every table -> always found
+        assert (3, 150) in found
+        assert (7, 151) in found
+        assert all(c >= 0.95 for c in out.cos)
+        # random 16-d gaussians almost never reach cos 0.95: no FP blowup
+        assert len(found) < 10

@@ -33,6 +33,7 @@ GOLDEN_QUERIES = [
     "approx_distinct_users",
     "simhash_near_dups",
     "knn_ivf",
+    "embedding_near_dups_lsh",
 ]
 
 
