@@ -397,9 +397,12 @@ def q_corrections_upsert(sf_dir: str) -> Dataset:
             "corr_text": pc.utf8_upper(sub.column("text")),
         })
 
+    from ..stages.dedup import _join_partitions
+
     corrections = docs.map_batches(_delta_rows, batch_format="pyarrow")
     joined = docs.join(
-        corrections, join_type="left_outer", num_partitions=16, on=("doc_id",),
+        corrections, join_type="left_outer",
+        num_partitions=_join_partitions(), on=("doc_id",),
     )
 
     def apply(batch: pa.Table) -> pa.Table:
@@ -590,8 +593,10 @@ def q_orders_lineitem_join(sf_dir: str) -> Dataset:
                              columns=["o_orderkey", "o_orderpriority"])
     items = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                             columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    from ..stages.dedup import _join_partitions
+
     joined = items.join(
-        orders, join_type="inner", num_partitions=16,
+        orders, join_type="inner", num_partitions=_join_partitions(),
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
@@ -618,6 +623,159 @@ def q_orders_lineitem_join(sf_dir: str) -> Dataset:
         }),
         batch_format="pyarrow",
     )
+
+
+def _urgent_custkeys(sf_dir: str) -> Dataset:
+    """Distinct custkeys holding >=1 URGENT order, built distributed:
+    filter at the read -> groupby count. The distinct-key set is produced
+    by the shuffle (never collected on the driver), so the semi/anti join
+    below stays a hash-partitioned Dataset.join at any scale. A bloom
+    filter broadcast would be the cheaper variant when the key set is
+    known to fit worker memory; the join form has no such assumption."""
+    return (
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderpriority"])
+        .filter(expr="o_orderpriority == '1-URGENT'")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_urgent"))
+    )
+
+
+def q_customers_semi_join(sf_dir: str) -> Dataset:
+    """Semi join (EXISTS): customers with >=1 URGENT-priority order, plus
+    how many. Shape: big-side filter+pre-aggregate -> hash-partitioned
+    inner ``Dataset.join`` — the classic semi-join-via-distinct-keys plan
+    (no row duplication because the key side is pre-aggregated)."""
+    from ..stages.dedup import _join_partitions
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name", "c_mktsegment"])
+    joined = cust.join(
+        _urgent_custkeys(sf_dir), join_type="inner",
+        num_partitions=_join_partitions(),
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+    return joined.map_batches(
+        lambda b: pa.table({
+            "c_custkey": b.column("c_custkey"),
+            "c_name": b.column("c_name"),
+            "n_urgent": b.column("n_urgent").cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_customers_anti_join(sf_dir: str) -> Dataset:
+    """Anti join (NOT EXISTS): customers with NO urgent order. left_outer
+    join against the distinct-key set, keep rows whose probe column is
+    null — the standard distributed anti-join plan (Ray Data has no
+    native anti join)."""
+    from ..stages.dedup import _join_partitions
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name", "c_mktsegment"])
+    joined = cust.join(
+        _urgent_custkeys(sf_dir), join_type="left_outer",
+        num_partitions=_join_partitions(),
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def unmatched(b: pa.Table) -> pa.Table:
+        keep = pc.is_null(b.column("n_urgent"))
+        return b.filter(keep).select(["c_custkey", "c_name", "c_mktsegment"])
+
+    return joined.map_batches(unmatched, batch_format="pyarrow")
+
+
+_ROLLUP_ALL = "ALL"
+
+
+def q_orders_rollup(sf_dir: str):  # noqa: ANN201 — DataFrame
+    """ROLLUP(status, priority) grouped aggregate: per-(status, priority)
+    counts + revenue, per-status subtotals, and a grand total — the OLAP
+    subtotal surface over the engine's partial-aggregate groupby.
+
+    Scale shape: rows are reduced to the FINEST level distributed (per-batch
+    partials -> small groupby); the coarser rollup levels are re-aggregated
+    from that materialized finest level, which is bounded by
+    |status| x |priority| (~15 rows), never by the input."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_orderstatus": batch.column("o_orderstatus"),
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "price": batch.column("o_totalprice"),
+        })
+        return t.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("price", "sum"), ("price", "count")])
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Sum("price_sum", alias_name="raw"),
+                   Sum("price_count", alias_name="n_orders"))
+    ).to_pandas()  # bounded: one row per (status, priority) combination
+
+    levels = [fine]
+    by_status = fine.groupby("o_orderstatus", as_index=False).agg(
+        raw=("raw", "sum"), n_orders=("n_orders", "sum"))
+    by_status["o_orderpriority"] = _ROLLUP_ALL
+    levels.append(by_status)
+    total = pd.DataFrame({
+        "o_orderstatus": [_ROLLUP_ALL], "o_orderpriority": [_ROLLUP_ALL],
+        "raw": [fine["raw"].sum()], "n_orders": [fine["n_orders"].sum()],
+    })
+    levels.append(total)
+    out = pd.concat(levels, ignore_index=True)
+    return pd.DataFrame({
+        "o_orderstatus": out["o_orderstatus"],
+        "o_orderpriority": out["o_orderpriority"],
+        "n_orders": out["n_orders"].astype("int64"),
+        "revenue": _np_round(out["raw"].to_numpy(), 2),
+    })
+
+
+_PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(sf_dir: str) -> Dataset:
+    """Pivot (wide conditional aggregation): per-user event counts spread
+    into one column per event type. The pivot column set is a fixed
+    contract (schema cannot depend on the data); counts are built as 0/1
+    indicator columns with ``pyarrow.compute`` then partial-summed per
+    batch, so the shuffle carries one row per (user, batch) of small ints —
+    never the events themselves."""
+    ds = _events(sf_dir, ["user_id", "event_type"])
+
+    def indicators(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        cols = {"user_id": batch.column("user_id")}
+        for t in _PIVOT_EVENT_TYPES:
+            cols[f"n_{t}"] = pc.cast(pc.equal(et, t), pa.int64())
+        t2 = pa.table(cols)
+        return t2.group_by("user_id").aggregate(
+            [(f"n_{t}", "sum") for t in _PIVOT_EVENT_TYPES])
+
+    agg = (
+        ds.map_batches(indicators, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(f"n_{t}_sum", alias_name=f"n_{t}")
+                     for t in _PIVOT_EVENT_TYPES])
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        cols = {"user_id": b.column("user_id")}
+        total = None
+        for t in _PIVOT_EVENT_TYPES:
+            c = b.column(f"n_{t}").cast(pa.int64())
+            cols[f"n_{t}"] = c
+            total = c if total is None else pc.add(total, c)
+        cols["n_total"] = total
+        return pa.table(cols)
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
 
 
 def q_sessionize(sf_dir: str) -> Dataset:
@@ -1833,6 +1991,51 @@ QUERIES: dict[str, dict] = {
                                           ORDER BY ts, event_id) AS rn
                 FROM events) t
             WHERE rn <= 5
+        """,
+    },
+    "customers_semi_join": {
+        "fn": q_customers_semi_join,
+        "sql": """
+            SELECT c_custkey, c_name, CAST(u.n_urgent AS BIGINT) AS n_urgent
+            FROM customer JOIN (
+                SELECT o_custkey, count(*) AS n_urgent
+                FROM orders WHERE o_orderpriority = '1-URGENT'
+                GROUP BY o_custkey) u
+              ON c_custkey = u.o_custkey
+        """,
+    },
+    "customers_anti_join": {
+        "fn": q_customers_anti_join,
+        "sql": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT')
+        """,
+    },
+    "orders_rollup": {
+        "fn": q_orders_rollup,
+        "sql": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(round((sum(o_totalprice)) * 100) AS BIGINT) / 100.0 AS revenue
+            FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+    },
+    "events_pivot": {
+        "fn": q_events_pivot,
+        "sql": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+                   CAST(count(*) AS BIGINT) AS n_total
+            FROM events GROUP BY user_id
         """,
     },
     "embedding_dup_pairs": {

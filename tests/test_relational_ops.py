@@ -1,0 +1,103 @@
+"""Round-2 relational breadth: semi/anti join, rollup, pivot.
+
+Each query also has a DuckDB value oracle (pipelines/queries.py QUERIES);
+these tests pin the *relational invariants* that hold regardless of data,
+at the smoke scale, so regressions surface without the driver."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _df(result) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result.to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSemiAntiJoin:
+    def test_semi_and_anti_partition_customers(self):
+        """semi ∪ anti = all customers; semi ∩ anti = ∅ (the defining
+        property of a semi/anti join pair over one predicate)."""
+        import pyarrow.parquet as pq
+
+        from ai_pdf_extraction_ray.pipelines.queries import (
+            q_customers_anti_join,
+            q_customers_semi_join,
+        )
+
+        semi = _df(q_customers_semi_join(SF_SMOKE))
+        anti = _df(q_customers_anti_join(SF_SMOKE))
+        all_keys = set(
+            pq.read_table(
+                f"{SF_SMOKE}/customer.parquet", columns=["c_custkey"]
+            ).column("c_custkey").to_pylist()
+        )
+        s, a = set(semi["c_custkey"]), set(anti["c_custkey"])
+        assert s | a == all_keys
+        assert not (s & a)
+        assert (semi["n_urgent"] >= 1).all()
+
+    def test_semi_counts_match_source(self):
+        import duckdb
+
+        from ai_pdf_extraction_ray.pipelines.queries import q_customers_semi_join
+
+        semi = _df(q_customers_semi_join(SF_SMOKE)).set_index("c_custkey")
+        truth = duckdb.sql(
+            f"""SELECT o_custkey, count(*) n FROM
+                read_parquet('{SF_SMOKE}/orders.parquet')
+                WHERE o_orderpriority = '1-URGENT' GROUP BY 1"""
+        ).df().set_index("o_custkey")
+        assert semi["n_urgent"].to_dict() == truth["n"].to_dict()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRollup:
+    def test_levels_are_consistent(self):
+        """Grand total == sum of status subtotals == sum of leaves, for both
+        measures; every (status, priority) leaf appears exactly once."""
+        from ai_pdf_extraction_ray.pipelines.queries import q_orders_rollup
+
+        df = _df(q_orders_rollup(SF_SMOKE))
+        leaves = df[(df.o_orderstatus != "ALL") & (df.o_orderpriority != "ALL")]
+        subs = df[(df.o_orderstatus != "ALL") & (df.o_orderpriority == "ALL")]
+        total = df[(df.o_orderstatus == "ALL") & (df.o_orderpriority == "ALL")]
+        assert len(total) == 1
+        assert total["n_orders"].iloc[0] == leaves["n_orders"].sum() == subs["n_orders"].sum()
+        assert abs(total["revenue"].iloc[0] - leaves["revenue"].sum()) < 0.05
+        assert not leaves.duplicated(["o_orderstatus", "o_orderpriority"]).any()
+        # each subtotal covers its leaves
+        for st, g in leaves.groupby("o_orderstatus"):
+            row = subs[subs.o_orderstatus == st]
+            assert row["n_orders"].iloc[0] == g["n_orders"].sum()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPivot:
+    def test_row_counts_and_totals(self):
+        import duckdb
+
+        from ai_pdf_extraction_ray.pipelines.queries import q_events_pivot
+
+        df = _df(q_events_pivot(SF_SMOKE))
+        truth = duckdb.sql(
+            f"""SELECT user_id, event_type, count(*) n FROM
+                read_parquet('{SF_SMOKE}/events.parquet') GROUP BY 1, 2"""
+        ).df()
+        n_events = truth["n"].sum()
+        assert df["n_total"].sum() == n_events
+        wide_sum = df[[c for c in df.columns if c.startswith("n_") and c != "n_total"]].sum(axis=1)
+        assert (wide_sum == df["n_total"]).all()
+        # spot-check one (user, type) cell against the long-form truth
+        cell = truth.iloc[0]
+        got = df.loc[df.user_id == cell.user_id, f"n_{cell.event_type}"].iloc[0]
+        assert got == cell.n
