@@ -557,6 +557,29 @@ def q_fingerprints(sf_dir: str) -> Dataset:
     return fingerprints(sf_dir)
 
 
+def q_gopher_quality(sf_dir: str) -> Dataset:
+    """Gopher-style repetition signals (TTR, top-word fraction, duplicate
+    bigram fraction, mean word length) per document."""
+    from ..stages.textstats import gopher_quality
+
+    return gopher_quality(sf_dir)
+
+
+def q_contamination_flags(sf_dir: str) -> Dataset:
+    """Benchmark-contamination detection: flag documents containing any
+    13-token benchmark n-gram (broadcast set, substring scan)."""
+    from ..stages.textstats import contamination_flags
+
+    return contamination_flags(sf_dir)
+
+
+def q_vocab_bigrams(sf_dir: str) -> Dataset:
+    """Global top-30 bigram counts (vocabulary building)."""
+    from ..stages.textstats import vocab_bigrams
+
+    return vocab_bigrams(sf_dir, k=30)
+
+
 def q_minhash_near_dups(sf_dir: str) -> pd.DataFrame:
     """MinHash+LSH near-dup pairs with exact Jaccard verify (rows-only)."""
     from ..stages.dedup import minhash_near_dups
@@ -1991,6 +2014,67 @@ QUERIES: dict[str, dict] = {
                                           ORDER BY ts, event_id) AS rn
                 FROM events) t
             WHERE rn <= 5
+        """,
+    },
+    "gopher_quality": {
+        "fn": q_gopher_quality,
+        "sql": r"""
+            WITH d AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+                FROM documents),
+            w AS (
+                SELECT doc_id, token, count(*) AS c
+                FROM (SELECT doc_id, unnest(toks) AS token FROM d)
+                GROUP BY doc_id, token),
+            u AS (
+                SELECT doc_id, sum(c) AS n, count(*) AS nd, max(c) AS topc,
+                       sum(c * len(token)) AS chars
+                FROM w GROUP BY doc_id),
+            bg AS (
+                SELECT doc_id, count(*) AS nbg, count(DISTINCT bigram) AS ndbg
+                FROM (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+                      FROM (SELECT doc_id, toks,
+                                   unnest(generate_series(1, len(toks) - 1)) AS i
+                            FROM d))
+                GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(u.n, 0) AS BIGINT) AS n_words,
+                   CAST(round((CAST(u.nd AS DOUBLE) / u.n) * 10000) AS BIGINT) / 10000.0 AS ttr,
+                   CAST(round((CAST(u.topc AS DOUBLE) / u.n) * 10000) AS BIGINT) / 10000.0 AS top_word_frac,
+                   CAST(round((CAST(u.chars AS DOUBLE) / u.n) * 10000) AS BIGINT) / 10000.0 AS mean_word_len,
+                   CAST(round((1.0 - CAST(bg.ndbg AS DOUBLE) / bg.nbg) * 10000) AS BIGINT) / 10000.0 AS dup_bigram_frac
+            FROM d LEFT JOIN u USING (doc_id) LEFT JOIN bg USING (doc_id)
+        """,
+    },
+    "contamination_flags": {
+        "fn": q_contamination_flags,
+        "sql": r"""
+            WITH bench AS (
+                SELECT array_to_string(
+                           list_slice(regexp_extract_all(lower(text), '\S+'),
+                                      5, 17), ' ') AS ngram
+                FROM documents
+                WHERE doc_id % 97 = 3
+                  AND len(regexp_extract_all(lower(text), '\S+')) >= 17)
+            SELECT d.doc_id,
+                   CAST(sum(CASE WHEN contains(lower(d.text), b.ngram)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+                   CAST(max(CASE WHEN contains(lower(d.text), b.ngram)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS contaminated
+            FROM documents d CROSS JOIN bench b
+            GROUP BY d.doc_id
+        """,
+    },
+    "vocab_bigrams": {
+        "fn": q_vocab_bigrams,
+        "sql": r"""
+            SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+                FROM (SELECT toks,
+                             unnest(generate_series(1, len(toks) - 1)) AS i
+                      FROM (SELECT regexp_extract_all(lower(text), '\S+') AS toks
+                            FROM documents) d0)) t
+            GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30
         """,
     },
     "customers_semi_join": {

@@ -238,3 +238,163 @@ def fingerprints(sf_dir: str, *, concurrency: int = 2) -> Dataset:
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return docs.map_batches(Fingerprinter, batch_format="pyarrow",
                             concurrency=concurrency, num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals
+# ---------------------------------------------------------------------------
+
+def gopher_signals_row(text: str) -> dict:
+    """Repetition/quality signals from the Gopher data-curation rules
+    (Rae et al. 2021, public): type-token ratio, most-frequent-word
+    fraction, duplicate-bigram fraction, mean word length. The tokenizer is
+    ``lower() + \\S+`` so the DuckDB oracle can restate it exactly."""
+    from collections import Counter
+
+    toks = _TOKEN.findall((text or "").lower())
+    n = len(toks)
+    if n == 0:
+        return {"n_words": 0, "ttr": None, "top_word_frac": None,
+                "mean_word_len": None, "dup_bigram_frac": None}
+    counts = Counter(toks)
+    row = {
+        "n_words": n,
+        "ttr": _r4(len(counts) / n),
+        "top_word_frac": _r4(max(counts.values()) / n),
+        "mean_word_len": _r4(sum(len(t) for t in toks) / n),
+    }
+    if n >= 2:
+        bigrams = list(zip(toks, toks[1:]))
+        row["dup_bigram_frac"] = _r4(1.0 - len(set(bigrams)) / len(bigrams))
+    else:
+        row["dup_bigram_frac"] = None
+    return row
+
+
+class GopherSignals:
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [gopher_signals_row(t) for t in batch.column("text").to_pylist()]
+        out = {"doc_id": batch.column("doc_id")}
+        out["n_words"] = pa.array([r["n_words"] for r in rows], pa.int64())
+        for key in ("ttr", "top_word_frac", "mean_word_len", "dup_bigram_frac"):
+            out[key] = pa.array([r[key] for r in rows], pa.float64())
+        return pa.table(out)
+
+
+def gopher_quality(sf_dir: str, *, concurrency: int = 2) -> Dataset:
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(GopherSignals, batch_format="pyarrow",
+                            concurrency=concurrency, num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination detection
+# ---------------------------------------------------------------------------
+
+CONTAM_NGRAM_LEN = 13          # tokens per benchmark n-gram (standard 13-gram)
+CONTAM_NGRAM_START = 4         # 0-based start offset within the benchmark doc
+CONTAM_BENCH_MOD = 97          # benchmark docs: doc_id % MOD == RESIDUE
+CONTAM_BENCH_RESIDUE = 3
+
+
+def build_benchmark_ngrams(sf_dir: str) -> list[str]:
+    """Deterministic stand-in for an external eval set: one 13-token n-gram
+    per selected document (``doc_id % 97 == 3`` with >= 17 tokens). Real
+    deployments load benchmark n-grams from the eval suites; the selection
+    here only exists so tests/oracles are hermetic."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    sel = t.filter(pa.array(ids % CONTAM_BENCH_MOD == CONTAM_BENCH_RESIDUE))
+    grams = []
+    for text in sel.column("text").to_pylist():
+        toks = _TOKEN.findall((text or "").lower())
+        if len(toks) >= CONTAM_NGRAM_START + CONTAM_NGRAM_LEN:
+            grams.append(" ".join(
+                toks[CONTAM_NGRAM_START:CONTAM_NGRAM_START + CONTAM_NGRAM_LEN]))
+    return grams
+
+
+class ContaminationFlagger:
+    """Actor-pool stage: flag documents containing any benchmark n-gram.
+
+    The benchmark set is broadcast ONCE via ``ray.put`` and read in
+    ``__init__`` (per actor), never re-shipped per batch. Benchmark suites
+    are small by nature (10^4-10^5 n-grams), so broadcast + substring scan
+    is the right 100 TB shape; an Aho-Corasick automaton over the n-gram
+    set drops the per-doc cost from O(grams) to O(len) when the set grows."""
+
+    def __init__(self, grams_ref) -> None:  # noqa: ANN001 — ObjectRef
+        import ray as _ray
+
+        self.grams: list[str] = _ray.get(grams_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_matches, flags = [], []
+        for t in batch.column("text").to_pylist():
+            low = (t or "").lower()
+            m = sum(1 for g in self.grams if g in low)
+            n_matches.append(m)
+            flags.append(1 if m else 0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_matches": pa.array(n_matches, pa.int64()),
+            "contaminated": pa.array(flags, pa.int64()),
+        })
+
+
+def contamination_flags(sf_dir: str, *, concurrency: int = 2) -> Dataset:
+    import ray as _ray
+
+    grams = build_benchmark_ngrams(sf_dir)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    if not grams:
+        # empty benchmark: the SQL cross-join oracle yields zero rows
+        return docs.filter(lambda _: False)
+    grams_ref = _ray.put(grams)
+    return docs.map_batches(
+        ContaminationFlagger, batch_format="pyarrow",
+        concurrency=concurrency, num_cpus=1,
+        fn_constructor_args=(grams_ref,),
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary building: global top bigrams
+# ---------------------------------------------------------------------------
+
+def vocab_bigrams(sf_dir: str, *, k: int = 30) -> Dataset:
+    """Global top-k bigram counts (vocabulary/statistics building).
+
+    Per-batch Counter partials -> groupby sum -> global sort + limit: the
+    shuffle carries one row per distinct bigram per batch (already
+    combined), not one per occurrence — same partial-aggregate shape as
+    heavy_hitters' exact pass, here with full-ordering output."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum as _Sum
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = _TOKEN.findall((t or "").lower())
+            c.update(" ".join(p) for p in zip(toks, toks[1:]))
+        return pa.table({
+            "bigram": pa.array(list(c.keys()), pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        })
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+    top = agg.sort(["n", "bigram"], descending=[True, False]).limit(k)
+    return top.map_batches(
+        lambda b: pa.table({"bigram": b.column("bigram"),
+                            "n": b.column("n").cast(pa.int64())}),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,117 @@
+"""Round-2 text-quality breadth: Gopher repetition signals, benchmark
+contamination detection, vocabulary bigrams. Value-level parity with DuckDB
+is the oracle's job (pipelines/queries.py); these tests pin the kernels on
+crafted inputs with hand-computed ground truth."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+class TestGopherSignals:
+    def test_repetitive_text_scores_high_duplication(self):
+        from ai_pdf_extraction_ray.stages.textstats import gopher_signals_row
+
+        r = gopher_signals_row("spam spam spam spam")
+        assert r["n_words"] == 4
+        assert r["ttr"] == 0.25            # 1 distinct / 4
+        assert r["top_word_frac"] == 1.0
+        assert r["dup_bigram_frac"] == 0.6667  # 1 distinct of 3, 4-dp snapped
+        assert r["mean_word_len"] == 4.0
+
+    def test_all_distinct_text(self):
+        from ai_pdf_extraction_ray.stages.textstats import gopher_signals_row
+
+        r = gopher_signals_row("alpha beta gamma delta")
+        assert r["ttr"] == 1.0
+        assert r["top_word_frac"] == 0.25
+        assert r["dup_bigram_frac"] == 0.0
+
+    def test_edge_cases(self):
+        from ai_pdf_extraction_ray.stages.textstats import gopher_signals_row
+
+        empty = gopher_signals_row("")
+        assert empty["n_words"] == 0 and empty["ttr"] is None
+        one = gopher_signals_row("word")
+        assert one["n_words"] == 1 and one["dup_bigram_frac"] is None
+        # case folding: tokens are lowercased before counting
+        assert gopher_signals_row("The THE the")["ttr"] == pytest.approx(0.3333)
+
+
+class TestContamination:
+    def test_benchmark_docs_flag_themselves(self, ray_session):
+        """Every doc a benchmark n-gram was cut from must be flagged (its
+        own text contains the n-gram verbatim, single-space tokenization)."""
+        import pyarrow.parquet as pq
+
+        from ai_pdf_extraction_ray.stages.textstats import (
+            CONTAM_BENCH_MOD,
+            CONTAM_BENCH_RESIDUE,
+            CONTAM_NGRAM_LEN,
+            CONTAM_NGRAM_START,
+            _TOKEN,
+            build_benchmark_ngrams,
+            contamination_flags,
+        )
+
+        grams = build_benchmark_ngrams(SF_SMOKE)
+        assert grams, "smoke corpus must yield a non-empty benchmark set"
+        flagged = {
+            r["doc_id"]: r["contaminated"]
+            for r in contamination_flags(SF_SMOKE).take_all()
+        }
+        t = pq.read_table(f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text"])
+        for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist()):
+            if doc_id % CONTAM_BENCH_MOD != CONTAM_BENCH_RESIDUE:
+                continue
+            toks = _TOKEN.findall(text.lower())
+            if len(toks) < CONTAM_NGRAM_START + CONTAM_NGRAM_LEN:
+                continue
+            gram = " ".join(
+                toks[CONTAM_NGRAM_START:CONTAM_NGRAM_START + CONTAM_NGRAM_LEN])
+            if gram in text.lower():  # single-space-joined source text
+                assert flagged[doc_id] == 1, doc_id
+
+    def test_planted_contamination_found(self, ray_session):
+        """A non-benchmark doc containing a benchmark n-gram verbatim is
+        flagged (the operator's actual purpose)."""
+        import ray
+
+        from ai_pdf_extraction_ray.stages.textstats import (
+            ContaminationFlagger,
+            build_benchmark_ngrams,
+        )
+        import pyarrow as pa
+
+        grams = build_benchmark_ngrams(SF_SMOKE)
+        flag = ContaminationFlagger(ray.put(grams))
+        batch = pa.table({
+            "doc_id": pa.array([900001, 900002], pa.int64()),
+            "text": pa.array([f"prefix words {grams[0]} suffix words",
+                              "entirely clean text with no overlap"], pa.string()),
+        })
+        out = flag(batch).to_pydict()
+        assert out["contaminated"] == [1, 0]
+        assert out["n_matches"][0] >= 1
+
+
+class TestVocabBigrams:
+    def test_matches_duckdb_at_smoke_scale(self, ray_session):
+        import duckdb
+
+        from ai_pdf_extraction_ray.stages.textstats import vocab_bigrams
+
+        got = vocab_bigrams(SF_SMOKE, k=10).to_pandas()
+        want = duckdb.sql(
+            rf"""SELECT bigram, count(*) AS n FROM (
+                    SELECT toks[i] || ' ' || toks[i+1] AS bigram
+                    FROM (SELECT toks, unnest(generate_series(1, len(toks)-1)) AS i
+                          FROM (SELECT regexp_extract_all(lower(text), '\S+') AS toks
+                                FROM read_parquet('{SF_SMOKE}/documents.parquet')) d0))
+                 GROUP BY bigram ORDER BY n DESC, bigram LIMIT 10"""
+        ).df()
+        assert got["bigram"].tolist() == want["bigram"].tolist()
+        assert got["n"].tolist() == want["n"].tolist()
