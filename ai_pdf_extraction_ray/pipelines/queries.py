@@ -557,6 +557,107 @@ def q_fingerprints(sf_dir: str) -> Dataset:
     return fingerprints(sf_dir)
 
 
+PACK_CAPACITY = 512        # tokens per training sequence (bin)
+PACK_RANGE = 1_000         # doc_ids per prefix-sum range
+
+
+def q_sequence_packing(sf_dir: str) -> Dataset:
+    """Sequence packing (concat-and-chunk): documents' token streams are
+    concatenated in doc_id order and cut into fixed-capacity training
+    sequences; each doc reports its global token offset and the bin span
+    it lands in — the layout step of an LLM pre-training data pipeline.
+
+    The global ordered prefix sum is DISTRIBUTED: per-range token totals
+    (one row per PACK_RANGE doc_ids) are reduced via partial groupby, the
+    tiny per-range offset table is prefix-summed on the driver and
+    broadcast via ``ray.put``, then each range group computes its local
+    cumsum + offset independently — no global sort, no driver-side pass
+    over documents. At 100 TB the offset table has |docs|/PACK_RANGE rows;
+    raise PACK_RANGE to keep it small."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = [len(_TOKEN_RE.findall(t or ""))
+             for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n, pa.int64()),
+            "range_id": pa.array(ids // PACK_RANGE, pa.int64()),
+        })
+
+    cds = docs.map_batches(counts, batch_format="pyarrow")
+
+    def range_partial(b: pa.Table) -> pa.Table:
+        return (b.select(["range_id", "n_tokens"])
+                 .group_by("range_id").aggregate([("n_tokens", "sum")]))
+
+    totals = (
+        cds.map_batches(range_partial, batch_format="pyarrow")
+        .groupby("range_id")
+        .aggregate(Sum("n_tokens_sum", alias_name="s"))
+    ).to_pandas()  # bounded: one row per range, not per doc
+    totals = totals.sort_values("range_id")
+    offsets: dict[int, int] = {}
+    acc = 0
+    for rid, s in zip(totals["range_id"], totals["s"]):
+        offsets[int(rid)] = acc
+        acc += int(s)
+    offsets_ref = ray.put(offsets)
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(offsets_ref)
+        g = g.sort_values("doc_id")
+        start = (offs[int(g["range_id"].iloc[0])]
+                 + g["n_tokens"].cumsum().shift(1, fill_value=0)).astype("int64")
+        span = g["n_tokens"].clip(lower=1)  # 0-token doc occupies its start bin
+        first = start // PACK_CAPACITY
+        last = (start + span - 1) // PACK_CAPACITY
+        return pd.DataFrame({
+            "doc_id": g["doc_id"],
+            "n_tokens": g["n_tokens"],
+            "tok_start": start,
+            "first_bin": first,
+            "last_bin": last,
+            "n_bins": (last - first + 1).astype("int64"),
+        })
+
+    return cds.groupby("range_id").map_groups(pack, batch_format="pandas")
+
+
+def q_user_event_gaps(sf_dir: str) -> Dataset:
+    """Lag/lead analytic: per-user inter-event gaps (event-time ordered) —
+    mean/max silence in seconds. groupby(user) + in-group sort, same
+    partitioning contract as sessionize."""
+    ds = _events(sf_dir, ["user_id", "event_id", "ts"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        secs = g["ts"].diff().dropna().dt.total_seconds()
+        n = len(secs)
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_gaps": [n],
+            "mean_gap_s": [_py_round(float(secs.mean()), 3) if n else None],
+            "max_gap_s": [_py_round(float(secs.max()), 3) if n else None],
+        })
+
+    out = ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
+    return out.map_batches(
+        lambda b: b.cast(pa.schema([
+            ("user_id", pa.int64()), ("n_gaps", pa.int64()),
+            ("mean_gap_s", pa.float64()), ("max_gap_s", pa.float64())])),
+        batch_format="pyarrow",
+    )
+
+
+def q_approx_quantiles(sf_dir: str) -> Dataset:
+    """Histogram-sketch approximate quantiles (scale path of `quantiles`)."""
+    from ..stages.sketches import approx_quantiles_hist
+
+    return approx_quantiles_hist(sf_dir)
+
+
 def q_gopher_quality(sf_dir: str) -> Dataset:
     """Gopher-style repetition signals (TTR, top-word fraction, duplicate
     bigram fraction, mean word length) per document."""
@@ -2014,6 +2115,71 @@ QUERIES: dict[str, dict] = {
                                           ORDER BY ts, event_id) AS rn
                 FROM events) t
             WHERE rn <= 5
+        """,
+    },
+    "sequence_packing": {
+        "fn": q_sequence_packing,
+        "sql": r"""
+            WITH t AS (
+                SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens
+                FROM documents),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS tok_start
+                FROM t)
+            SELECT doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(tok_start AS BIGINT) AS tok_start,
+                   CAST(tok_start // 512 AS BIGINT) AS first_bin,
+                   CAST((tok_start + greatest(n_tokens, 1) - 1) // 512 AS BIGINT) AS last_bin,
+                   CAST((tok_start + greatest(n_tokens, 1) - 1) // 512
+                        - tok_start // 512 + 1 AS BIGINT) AS n_bins
+            FROM c
+        """,
+    },
+    "user_event_gaps": {
+        "fn": q_user_event_gaps,
+        "sql": """
+            WITH g AS (
+                SELECT user_id,
+                       date_diff('microsecond',
+                                 lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id),
+                                 ts) / 1000000.0 AS gap_s
+                FROM events)
+            SELECT user_id,
+                   CAST(count(gap_s) AS BIGINT) AS n_gaps,
+                   CAST(round((avg(gap_s)) * 1000) AS BIGINT) / 1000.0 AS mean_gap_s,
+                   CAST(round((max(gap_s)) * 1000) AS BIGINT) / 1000.0 AS max_gap_s
+            FROM g GROUP BY user_id
+        """,
+    },
+    "approx_quantiles": {
+        "fn": q_approx_quantiles,
+        "sql": """
+            WITH mm AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+            hist AS (
+                SELECT event_type,
+                       CAST(least(floor((value - mn) / ((mx - mn) / 2048.0)),
+                                  2047) AS BIGINT) AS bin,
+                       count(*) AS c
+                FROM events, mm GROUP BY 1, 2),
+            cum AS (
+                SELECT event_type, bin,
+                       sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cumc,
+                       sum(c) OVER (PARTITION BY event_type) AS n
+                FROM hist)
+            SELECT event_type,
+                   CAST(max(n) AS BIGINT) AS n,
+                   CAST(round((min(CASE WHEN cumc >= ceil(0.5 * n)
+                        THEN mn + (bin + 1) * ((mx - mn) / 2048.0) END)) * 10000) AS BIGINT) / 10000.0 AS p50_approx,
+                   CAST(round((min(CASE WHEN cumc >= ceil(0.9 * n)
+                        THEN mn + (bin + 1) * ((mx - mn) / 2048.0) END)) * 10000) AS BIGINT) / 10000.0 AS p90_approx,
+                   CAST(round((min(CASE WHEN cumc >= ceil(0.99 * n)
+                        THEN mn + (bin + 1) * ((mx - mn) / 2048.0) END)) * 10000) AS BIGINT) / 10000.0 AS p99_approx
+            FROM cum, mm GROUP BY event_type
         """,
     },
     "gopher_quality": {

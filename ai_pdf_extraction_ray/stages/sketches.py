@@ -200,3 +200,71 @@ def approx_distinct(
         .sort_values(key_col)
         .reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+def approx_quantiles_hist(
+    sf_dir: str, *, nbins: int = 2048, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> Dataset:
+    """Approximate per-key quantiles via a fixed-bin histogram sketch — the
+    scale path next to the exact ``quantiles`` query (which global-sorts
+    values per key). Error is bounded by one bin width of the global range.
+
+    Two passes, both streaming:
+      1. global min/max (tiny exact aggregate over the pruned column);
+      2. per-batch (key, bin) count partials -> groupby sum (the shuffle
+         carries at most nbins rows per key per batch, already combined)
+         -> per-key CDF walk picks the first bin covering rank ceil(q*n).
+
+    Every arithmetic step ((v-mn)/width, floor, clamp, ceil(q*n), upper
+    bin edge) is IEEE-double identical in numpy and DuckDB, so the oracle
+    restates the sketch exactly rather than pinning a golden."""
+    import math
+
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+    from ray.data.aggregate import Max as _Max, Min as _Min, Sum as _Sum
+
+    from ..functions.rounding import py_round as _pyr
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    mm = ds.aggregate(_Min("value"), _Max("value"))
+    mn, mx = float(mm["min(value)"]), float(mm["max(value)"])
+    width = (mx - mn) / float(nbins)
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        bins = np.minimum(np.floor((v - mn) / width), nbins - 1).astype(np.int64)
+        t = pa.table({"event_type": b.column("event_type"), "bin": bins})
+        return t.group_by(["event_type", "bin"]).aggregate([("bin", "count")])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bin"])
+        .aggregate(_Sum("bin_count", alias_name="c"))
+    )
+
+    def cdf_walk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bin")
+        cum = g["c"].cumsum()
+        n = int(cum.iloc[-1])
+        row: dict = {"event_type": [g["event_type"].iloc[0]], "n": [n]}
+        for q in qs:
+            thr = math.ceil(q * n)
+            b = int(g["bin"].to_numpy()[(cum >= thr).to_numpy().argmax()])
+            edge = mn + (b + 1) * width        # upper edge of the bin
+            row[f"p{int(q * 100)}_approx"] = [_pyr(edge, 4)]
+        return pd.DataFrame(row)
+
+    out = agg.groupby("event_type").map_groups(cdf_walk, batch_format="pandas")
+    return out.map_batches(
+        lambda b: b.cast(pa.schema(
+            [("event_type", pa.string()), ("n", pa.int64())]
+            + [(f"p{int(q * 100)}_approx", pa.float64()) for q in qs])),
+        batch_format="pyarrow",
+    )
