@@ -688,6 +688,14 @@ def q_minhash_near_dups(sf_dir: str) -> pd.DataFrame:
     return minhash_near_dups(sf_dir, threshold=0.5)
 
 
+def q_near_dup_clusters(sf_dir: str) -> Dataset:
+    """Connected components over verified near-dup pairs -> one canonical
+    doc per duplicate cluster (the `keep one copy` dedup semantics)."""
+    from ..stages.dedup import near_dup_clusters
+
+    return near_dup_clusters(sf_dir, threshold=0.5)
+
+
 def q_simhash_near_dups(sf_dir: str) -> pd.DataFrame:
     """Banded SimHash near-dup pairs, Hamming-verified (rows-only)."""
     from ..stages.dedup import simhash_near_dups
@@ -2046,6 +2054,43 @@ QUERIES: dict[str, dict] = {
               FROM pairs
             )
             SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
+        """,
+    },
+    "near_dup_clusters": {
+        "fn": q_near_dup_clusters,
+        "sql": r"""
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         range(1, greatest(len(t) - 1, 1)),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
+              FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+                    FROM documents)
+            ), scored AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CASE WHEN len(a.grams) + len(b.grams) = 0 THEN 1.0
+                          ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                               / (len(a.grams) + len(b.grams)
+                                  - len(list_intersect(a.grams, b.grams)))
+                     END AS jaccard
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ), edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM scored WHERE jaccard >= 0.5
+              UNION ALL
+              SELECT doc_b AS u, doc_a AS v FROM scored WHERE jaccard >= 0.5
+            ), walk(u, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u
+            ), lab AS (
+              SELECT u AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY u
+            )
+            SELECT l.doc_id, l.cluster_id,
+                   CAST(c.sz AS BIGINT) AS cluster_size,
+                   CAST(CASE WHEN l.doc_id = l.cluster_id THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_canonical
+            FROM lab l JOIN (SELECT cluster_id, count(*) AS sz
+                             FROM lab GROUP BY cluster_id) c USING (cluster_id)
         """,
     },
     "simhash_near_dups": {"fn": q_simhash_near_dups, "sql": GOLDEN_SQL["simhash_near_dups"]},
