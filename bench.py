@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "knn_bruteforce",
     "embedding_dup_pairs",
     "heavy_hitters",
+    "gopher_quality",
+    "sequence_packing",
+    "customers_semi_join",
 ]
 
 
