@@ -557,6 +557,96 @@ def q_fingerprints(sf_dir: str) -> Dataset:
     return fingerprints(sf_dir)
 
 
+_SETOP_THRESHOLD = 95.0
+
+
+def _user_type_flags(sf_dir: str) -> Dataset:
+    """Per-user 0/1 flags for `has a purchase over T` / `has an error over
+    T` — distinct-set semantics carried as per-batch partial maxima (one
+    tiny shuffle of flags, the events themselves never move)."""
+    ds = _events(sf_dir, ["user_id", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        et, v = b.column("event_type"), b.column("value")
+        hi = pc.greater(v, _SETOP_THRESHOLD)
+        t = pa.table({
+            "user_id": b.column("user_id"),
+            "hp": pc.cast(pc.and_(pc.equal(et, "purchase"), hi), pa.int64()),
+            "he": pc.cast(pc.and_(pc.equal(et, "error"), hi), pa.int64()),
+        })
+        return t.group_by("user_id").aggregate([("hp", "max"), ("he", "max")])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("hp_max", alias_name="hp"),
+                   Max("he_max", alias_name="he"))
+    )
+
+
+def _setop_select(flags: Dataset, want_error: int) -> Dataset:
+    def keep(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(b.column("hp"), 1),
+                    pc.equal(b.column("he"), want_error))
+        return b.filter(m).select(["user_id"])
+
+    out = flags.map_batches(keep, batch_format="pyarrow")
+    # schema-stable even when every block filters to empty
+    return out.map_batches(
+        lambda b: b.cast(pa.schema([("user_id", pa.int64())])),
+        batch_format="pyarrow",
+    )
+
+
+def q_users_except(sf_dir: str) -> Dataset:
+    """Set difference (EXCEPT): users with a big purchase (> 95) minus
+    users who also hit a big error."""
+    return _setop_select(_user_type_flags(sf_dir), want_error=0)
+
+
+def q_users_intersect(sf_dir: str) -> Dataset:
+    """Set intersection: users with BOTH a big purchase and a big error."""
+    return _setop_select(_user_type_flags(sf_dir), want_error=1)
+
+
+def q_value_ntile(sf_dir: str) -> Dataset:
+    """ntile(4) window: per event type, quartile bucket of each event by
+    value (DuckDB-exact sizes: first n%4 buckets get the extra row).
+    groupby(type) + in-group sort — same partition contract as sessionize."""
+    ds = _events(sf_dir, ["event_id", "event_type", "value"])
+
+    def ntile(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], kind="mergesort")
+        n = len(g)
+        base, rem = divmod(n, 4)
+        sizes = [base + 1] * rem + [base] * (4 - rem)
+        buckets = np.repeat(np.arange(1, 5), sizes)[:n]
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "event_type": g["event_type"].to_numpy(),
+            "quartile": buckets.astype("int64"),
+        })
+
+    return ds.groupby("event_type").map_groups(ntile, batch_format="pandas")
+
+
+def q_hash_sample(sf_dir: str) -> Dataset:
+    """Deterministic hash sampling: keep docs whose md5(doc_id) starts
+    below '1a' (26/256 ~ 10.2%). Rerun-stable and cluster-stable — the
+    sampling decision depends only on the key, never on partitioning or
+    RNG state, so resumed/partial runs sample identically."""
+    import hashlib as _hl
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        mask = [_hl.md5(str(i).encode()).hexdigest()[:2] < "1a"
+                for i in b.column("doc_id").to_pylist()]
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 PACK_CAPACITY = 512        # tokens per training sequence (bin)
 PACK_RANGE = 1_000         # doc_ids per prefix-sum range
 
@@ -766,8 +856,10 @@ def _urgent_custkeys(sf_dir: str) -> Dataset:
     known to fit worker memory; the join form has no such assumption."""
     return (
         rd.read_parquet(f"{sf_dir}/orders.parquet",
-                        columns=["o_custkey", "o_orderpriority"])
-        .filter(expr="o_orderpriority == '1-URGENT'")
+                        columns=["o_custkey"],
+                        # predicate pushed into the parquet scan: only
+                        # URGENT row groups' custkey column leaves storage
+                        filter=pc.field("o_orderpriority") == "1-URGENT")
         .groupby("o_custkey")
         .aggregate(Count(alias_name="n_urgent"))
     )
@@ -2160,6 +2252,44 @@ QUERIES: dict[str, dict] = {
                                           ORDER BY ts, event_id) AS rn
                 FROM events) t
             WHERE rn <= 5
+        """,
+    },
+    "users_except": {
+        "fn": q_users_except,
+        "sql": """
+            SELECT user_id FROM (
+                SELECT DISTINCT user_id FROM events
+                WHERE event_type = 'purchase' AND value > 95.0
+                EXCEPT
+                SELECT DISTINCT user_id FROM events
+                WHERE event_type = 'error' AND value > 95.0)
+        """,
+    },
+    "users_intersect": {
+        "fn": q_users_intersect,
+        "sql": """
+            SELECT user_id FROM (
+                SELECT DISTINCT user_id FROM events
+                WHERE event_type = 'purchase' AND value > 95.0
+                INTERSECT
+                SELECT DISTINCT user_id FROM events
+                WHERE event_type = 'error' AND value > 95.0)
+        """,
+    },
+    "value_ntile": {
+        "fn": q_value_ntile,
+        "sql": """
+            SELECT event_id, event_type,
+                   CAST(ntile(4) OVER (PARTITION BY event_type
+                                       ORDER BY value, event_id) AS BIGINT) AS quartile
+            FROM events
+        """,
+    },
+    "hash_sample": {
+        "fn": q_hash_sample,
+        "sql": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
         """,
     },
     "sequence_packing": {

@@ -1,0 +1,66 @@
+"""Round-2: set ops (EXCEPT/INTERSECT), ntile windows, hash sampling."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSetOps:
+    def test_except_and_intersect_partition_the_left_set(self):
+        import duckdb
+
+        from ai_pdf_extraction_ray.pipelines.queries import (
+            q_users_except,
+            q_users_intersect,
+        )
+
+        ex = set(q_users_except(SF_SMOKE).to_pandas()["user_id"])
+        it = set(q_users_intersect(SF_SMOKE).to_pandas()["user_id"])
+        left = set(duckdb.sql(
+            f"""SELECT DISTINCT user_id FROM
+                read_parquet('{SF_SMOKE}/events.parquet')
+                WHERE event_type = 'purchase' AND value > 95.0"""
+        ).df()["user_id"])
+        assert ex | it == left
+        assert not (ex & it)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNtile:
+    def test_bucket_sizes_and_ordering(self):
+        from ai_pdf_extraction_ray.pipelines.queries import q_value_ntile
+
+        df = q_value_ntile(SF_SMOKE).to_pandas()
+        assert set(df["quartile"]) <= {1, 2, 3, 4}
+        for _, g in df.groupby("event_type"):
+            sizes = g["quartile"].value_counts()
+            assert sizes.max() - sizes.min() <= 1  # ntile balance property
+        # ordering: every quartile-1 value <= every quartile-4 value per type
+        import pyarrow.parquet as pq
+
+        ev = pq.read_table(f"{SF_SMOKE}/events.parquet",
+                           columns=["event_id", "event_type", "value"]).to_pandas()
+        m = df.merge(ev, on=["event_id", "event_type"])
+        for _, g in m.groupby("event_type"):
+            assert g[g.quartile == 1]["value"].max() <= g[g.quartile == 4]["value"].min()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHashSample:
+    def test_deterministic_and_in_rate_band(self):
+        import hashlib
+
+        from ai_pdf_extraction_ray.pipelines.queries import q_hash_sample
+
+        a = sorted(q_hash_sample(SF_SMOKE).to_pandas()["doc_id"])
+        b = sorted(q_hash_sample(SF_SMOKE).to_pandas()["doc_id"])
+        assert a == b  # rerun-stable by construction
+        # exact membership: the predicate depends only on the key
+        for i in a:
+            assert hashlib.md5(str(i).encode()).hexdigest()[:2] < "1a"
+        # 26/256 expected rate, generous band for 500 docs
+        assert 0.03 < len(a) / 500 < 0.20
