@@ -647,6 +647,64 @@ def q_hash_sample(sf_dir: str) -> Dataset:
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def q_tfidf_top_terms(sf_dir: str) -> Dataset:
+    """TF-IDF term scoring: top-3 terms per document by tf * ln(N/df).
+
+    Two stages: (1) document frequencies via per-batch distinct-(doc,term)
+    Counter partials -> groupby sum (the shuffle carries one row per
+    distinct term per batch); (2) the df table is broadcast ONCE via
+    ``ray.put`` and each batch scores its docs locally — no second
+    shuffle. At web scale the broadcast is the frequency-pruned vocab
+    (df >= min_df); pruned rare terms score with df=1, which only
+    *raises* their idf, so top-k membership for common-term queries is
+    unaffected."""
+    import math
+    from collections import Counter
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()  # parquet metadata, no scan
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in b.column("text").to_pylist():
+            c.update(set(_TOKEN_RE.findall((t or "").lower())))
+        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
+                         "df": pa.array(list(c.values()), pa.int64())})
+
+    df_tbl = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+    ).to_pandas()  # bounded by vocabulary size (see docstring)
+    df_ref = ray.put(dict(zip(df_tbl["token"], df_tbl["df"].astype(int))))
+
+    def topk(b: pa.Table) -> pa.Table:
+        dfm = ray.get(df_ref)
+        out = {"doc_id": [], "term": [], "tf": [], "score": [], "rnk": []}
+        for i, t in zip(b.column("doc_id").to_pylist(),
+                        b.column("text").to_pylist()):
+            tf = Counter(_TOKEN_RE.findall((t or "").lower()))
+            scored = sorted(
+                ((c * math.log(n_docs / dfm[tok]), tok, c)
+                 for tok, c in tf.items()),
+                key=lambda x: (-x[0], x[1]))
+            for r, (s, tok, c) in enumerate(scored[:3], start=1):
+                out["doc_id"].append(i)
+                out["term"].append(tok)
+                out["tf"].append(c)
+                out["score"].append(_py_round(s, 4))
+                out["rnk"].append(r)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "term": pa.array(out["term"], pa.string()),
+            "tf": pa.array(out["tf"], pa.int64()),
+            "score": pa.array(out["score"], pa.float64()),
+            "rnk": pa.array(out["rnk"], pa.int64()),
+        })
+
+    return docs.map_batches(topk, batch_format="pyarrow")
+
+
 PACK_CAPACITY = 512        # tokens per training sequence (bin)
 PACK_RANGE = 1_000         # doc_ids per prefix-sum range
 
@@ -877,6 +935,54 @@ def q_customers_semi_join(sf_dir: str) -> Dataset:
     joined = cust.join(
         _urgent_custkeys(sf_dir), join_type="inner",
         num_partitions=_join_partitions(),
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+    return joined.map_batches(
+        lambda b: pa.table({
+            "c_custkey": b.column("c_custkey"),
+            "c_name": b.column("c_name"),
+            "n_urgent": b.column("n_urgent").cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_customers_semi_join_bloom(sf_dir: str) -> Dataset:
+    """Bloom-pruned semi join — same contract (and oracle) as
+    ``customers_semi_join``, different physical plan: partial Bloom
+    bitmaps built per batch over the urgent-key side are OR-merged
+    (one bitmap row per block, bounded by block count, never the keys),
+    broadcast once via ``ray.put``, and the customer side is prefiltered
+    inside ``map_batches`` BEFORE the exact hash join. The join's shuffle
+    then carries only probable matches + a ~1e-12 false-positive tail;
+    the exact join removes false positives, so results are identical."""
+    from ..functions.bloom import BloomFilter
+    from ..stages.dedup import _join_partitions
+
+    urgent = _urgent_custkeys(sf_dir)
+
+    def bitmap(b: pa.Table) -> pa.Table:
+        bf = BloomFilter()
+        bf.add_many(b.column("o_custkey").to_numpy(zero_copy_only=False))
+        return pa.table({"bits": pa.array([bf.to_bytes()], pa.binary())})
+
+    parts = urgent.map_batches(bitmap, batch_format="pyarrow").take_all()
+    merged = BloomFilter()
+    for row in parts:
+        merged.merge(BloomFilter.from_bytes(row["bits"]))
+    bloom_ref = ray.put(merged.to_bytes())
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name", "c_mktsegment"])
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        bf = BloomFilter.from_bytes(ray.get(bloom_ref))
+        keep = bf.contains_many(b.column("c_custkey").to_numpy(zero_copy_only=False))
+        return b.filter(pa.array(keep))
+
+    survivors = cust.map_batches(prefilter, batch_format="pyarrow")
+    joined = survivors.join(
+        urgent, join_type="inner", num_partitions=_join_partitions(),
         on=("c_custkey",), right_on=("o_custkey",),
     )
     return joined.map_batches(
@@ -2292,6 +2398,32 @@ QUERIES: dict[str, dict] = {
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
         """,
     },
+    "tfidf_top_terms": {
+        "fn": q_tfidf_top_terms,
+        "sql": r"""
+            WITH d AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+                FROM documents),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS token FROM d)
+                GROUP BY doc_id, token),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.token AS term, tf.tf,
+                       tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS raw,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) DESC,
+                                    tf.token) AS rnk
+                FROM tf JOIN df ON tf.token = df.token CROSS JOIN n)
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+                   CAST(round((raw) * 10000) AS BIGINT) / 10000.0 AS score,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM scored WHERE rnk <= 3
+        """,
+    },
     "sequence_packing": {
         "fn": q_sequence_packing,
         "sql": r"""
@@ -2420,6 +2552,17 @@ QUERIES: dict[str, dict] = {
     },
     "customers_semi_join": {
         "fn": q_customers_semi_join,
+        "sql": """
+            SELECT c_custkey, c_name, CAST(u.n_urgent AS BIGINT) AS n_urgent
+            FROM customer JOIN (
+                SELECT o_custkey, count(*) AS n_urgent
+                FROM orders WHERE o_orderpriority = '1-URGENT'
+                GROUP BY o_custkey) u
+              ON c_custkey = u.o_custkey
+        """,
+    },
+    "customers_semi_join_bloom": {
+        "fn": q_customers_semi_join_bloom,
         "sql": """
             SELECT c_custkey, c_name, CAST(u.n_urgent AS BIGINT) AS n_urgent
             FROM customer JOIN (
