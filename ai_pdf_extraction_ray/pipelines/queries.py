@@ -647,6 +647,140 @@ def q_hash_sample(sf_dir: str) -> Dataset:
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def q_value_zscore(sf_dir: str) -> Dataset:
+    """Per-key z-score normalization (feature engineering): events value
+    standardized within its event type. Two passes: per-key sum/sumsq/count
+    partials -> tiny stats table broadcast via ``ray.put`` -> one streaming
+    normalize pass. Mean and variance are computed as sum/n and
+    sumsq/n - mean^2 on BOTH sides so the oracle restates the arithmetic."""
+    ds = _events(sf_dir, ["event_id", "event_type", "value"])
+
+    def stat_partial(b: pa.Table) -> pa.Table:
+        v = b.column("value")
+        t = pa.table({
+            "event_type": b.column("event_type"),
+            "s": v,
+            "s2": pc.multiply(v, v),
+        })
+        return t.group_by("event_type").aggregate(
+            [("s", "sum"), ("s2", "sum"), ("s", "count")])
+
+    stats = (
+        ds.map_batches(stat_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("s_sum", alias_name="s"),
+                   Sum("s2_sum", alias_name="s2"),
+                   Sum("s_count", alias_name="n"))
+    ).to_pandas()  # one row per event type
+    table = {
+        r.event_type: (r.s / r.n, (r.s2 / r.n - (r.s / r.n) ** 2) ** 0.5)
+        for r in stats.itertuples()
+    }
+    stats_ref = ray.put(table)
+
+    def normalize(b: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        et = b.column("event_type").to_pylist()
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        mean = np.array([st[t][0] for t in et])
+        std = np.array([st[t][1] for t in et])
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "event_type": b.column("event_type"),
+            "z": pa.array(_np_round((v - mean) / std, 4), pa.float64()),
+        })
+
+    return ds.map_batches(normalize, batch_format="pyarrow")
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderpriority"]
+
+
+def q_profile_orders(sf_dir: str):  # noqa: ANN201 — DataFrame
+    """Table profiling: one row per column of `orders` with null count,
+    distinct count, and min/max (as strings). Per-batch partials carry one
+    row per (column, distinct-value-count partial...) — null/min/max are
+    cheap mergeable scalars; distinct counts use per-batch value sets
+    reduced through a per-column groupby (exact; the HLL sketch is the
+    documented alternative when a column's cardinality is unbounded)."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=_PROFILE_COLS)
+
+    def partial(b: pa.Table) -> pa.Table:
+        rows = {"col": [], "n_null": [], "vmin": [], "vmax": []}
+        dv = {"col": [], "val": []}
+        for name in _PROFILE_COLS:
+            c = b.column(name)
+            rows["col"].append(name)
+            rows["n_null"].append(c.null_count)
+            valid = c.drop_null()
+            rows["vmin"].append(str(pc.min(valid).as_py()) if len(valid) else None)
+            rows["vmax"].append(str(pc.max(valid).as_py()) if len(valid) else None)
+            for v in pc.unique(valid).to_pylist():
+                dv["col"].append(name)
+                dv["val"].append(str(v))
+        t1 = pa.table({"col": rows["col"],
+                       "n_null": pa.array(rows["n_null"], pa.int64()),
+                       "vmin": pa.array(rows["vmin"], pa.string()),
+                       "vmax": pa.array(rows["vmax"], pa.string())})
+        t2 = pa.table({"col": dv["col"], "val": pa.array(dv["val"], pa.string())})
+        return pa.table({
+            "kind": pa.array(["m"] * len(t1) + ["d"] * len(t2), pa.string()),
+            "col": pa.concat_arrays([t1.column("col").combine_chunks(),
+                                     t2.column("col").combine_chunks()]),
+            "n_null": pa.concat_arrays([
+                t1.column("n_null").combine_chunks(),
+                pa.nulls(len(t2), pa.int64())]),
+            "vmin": pa.concat_arrays([t1.column("vmin").combine_chunks(),
+                                      pa.nulls(len(t2), pa.string())]),
+            "vmax": pa.concat_arrays([t1.column("vmax").combine_chunks(),
+                                      pa.nulls(len(t2), pa.string())]),
+            "val": pa.concat_arrays([pa.nulls(len(t1), pa.string()),
+                                     t2.column("val").combine_chunks()]),
+        })
+
+    mixed = ds.map_batches(partial, batch_format="pyarrow")
+    # distinct counts stay DISTRIBUTED: dedupe (col, val) pairs with a
+    # groupby, then per-batch partial counts per col -> tiny groupby sum.
+    # The shuffle carries distinct pairs, never the rows.
+    distinct_pairs = (
+        mixed.filter(expr="kind == 'd'")
+        .groupby(["col", "val"]).aggregate(Count(alias_name="c"))
+    )
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        return (b.select(["col"]).append_column(
+                    "one", pa.array([1] * len(b), pa.int64()))
+                .group_by("col").aggregate([("one", "sum")]))
+
+    nd = (
+        distinct_pairs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("col")
+        .aggregate(Sum("one_sum", alias_name="n_distinct"))
+    ).to_pandas().set_index("col")  # one row per column
+
+    # null/min/max meta partials: one row per column per BATCH — bounded by
+    # batch count, so the driver merge is on sketch-sized data. min/max are
+    # merged on the column's native type (string min over numeric reprs
+    # would be wrong), stringified only at the end.
+    meta = mixed.filter(expr="kind == 'm'").to_pandas()
+    numeric = {"o_orderkey": int, "o_custkey": int, "o_totalprice": float}
+    rows = []
+    for c in _PROFILE_COLS:
+        g = meta[meta.col == c]
+        conv = numeric.get(c, str)
+        vmins = [conv(v) for v in g["vmin"].dropna()]
+        vmaxs = [conv(v) for v in g["vmax"].dropna()]
+        rows.append({
+            "col": c,
+            "n_null": int(g["n_null"].sum()),
+            "n_distinct": int(nd.loc[c, "n_distinct"]) if c in nd.index else 0,
+            "vmin": str(min(vmins)) if vmins else None,
+            "vmax": str(max(vmaxs)) if vmaxs else None,
+        })
+    return pd.DataFrame(rows)
+
+
 def q_tfidf_top_terms(sf_dir: str) -> Dataset:
     """TF-IDF term scoring: top-3 terms per document by tf * ln(N/df).
 
@@ -2396,6 +2530,50 @@ QUERIES: dict[str, dict] = {
         "sql": """
             SELECT doc_id, n_chars FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        """,
+    },
+    "value_zscore": {
+        "fn": q_value_zscore,
+        "sql": """
+            WITH st AS (
+                SELECT event_type,
+                       sum(value) / count(*) AS mu,
+                       sqrt(sum(value * value) / count(*)
+                            - (sum(value) / count(*)) * (sum(value) / count(*))) AS sd
+                FROM events GROUP BY event_type)
+            SELECT e.event_id, e.event_type,
+                   CAST(round(((e.value - st.mu) / st.sd) * 10000) AS BIGINT) / 10000.0 AS z
+            FROM events e JOIN st USING (event_type)
+        """,
+    },
+    "profile_orders": {
+        "fn": q_profile_orders,
+        "sql": """
+            SELECT 'o_orderkey' AS col,
+                   CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+                   CAST(min(o_orderkey) AS VARCHAR) AS vmin,
+                   CAST(max(o_orderkey) AS VARCHAR) AS vmax FROM orders
+            UNION ALL
+            SELECT 'o_custkey', CAST(count(*) - count(o_custkey) AS BIGINT),
+                   CAST(count(DISTINCT o_custkey) AS BIGINT),
+                   CAST(min(o_custkey) AS VARCHAR),
+                   CAST(max(o_custkey) AS VARCHAR) FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', CAST(count(*) - count(o_orderstatus) AS BIGINT),
+                   CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+                   CAST(min(o_orderstatus) AS VARCHAR),
+                   CAST(max(o_orderstatus) AS VARCHAR) FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', CAST(count(*) - count(o_totalprice) AS BIGINT),
+                   CAST(count(DISTINCT o_totalprice) AS BIGINT),
+                   CAST(min(o_totalprice) AS VARCHAR),
+                   CAST(max(o_totalprice) AS VARCHAR) FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', CAST(count(*) - count(o_orderpriority) AS BIGINT),
+                   CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+                   CAST(min(o_orderpriority) AS VARCHAR),
+                   CAST(max(o_orderpriority) AS VARCHAR) FROM orders
         """,
     },
     "tfidf_top_terms": {

@@ -64,3 +64,32 @@ class TestHashSample:
             assert hashlib.md5(str(i).encode()).hexdigest()[:2] < "1a"
         # 26/256 expected rate, generous band for 500 docs
         assert 0.03 < len(a) / 500 < 0.20
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestZscoreProfile:
+    def test_zscore_moments(self):
+        """Per-type z-scores have mean ~0 and std ~1 by construction."""
+        from ai_pdf_extraction_ray.pipelines.queries import q_value_zscore
+
+        df = q_value_zscore(SF_SMOKE).to_pandas()
+        for _, g in df.groupby("event_type"):
+            assert abs(g["z"].mean()) < 1e-3
+            assert abs(g["z"].std(ddof=0) - 1.0) < 1e-3
+
+    def test_profile_matches_duckdb(self):
+        import duckdb
+
+        from ai_pdf_extraction_ray.pipelines.queries import q_profile_orders
+
+        got = q_profile_orders(SF_SMOKE).set_index("col")
+        want = duckdb.sql(
+            f"""SELECT count(*) - count(o_custkey) AS n_null,
+                       count(DISTINCT o_custkey) AS nd,
+                       min(o_custkey) AS mn, max(o_custkey) AS mx
+                FROM read_parquet('{SF_SMOKE}/orders.parquet')"""
+        ).fetchone()
+        assert got.loc["o_custkey", "n_null"] == want[0]
+        assert got.loc["o_custkey", "n_distinct"] == want[1]
+        assert got.loc["o_custkey", "vmin"] == str(want[2])
+        assert got.loc["o_custkey", "vmax"] == str(want[3])
