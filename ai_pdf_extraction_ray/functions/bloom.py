@@ -34,9 +34,9 @@ class BloomFilter:
 
     num_bits must be a power of two. With k hashes and n keys the false
     positive rate is ~(1 - e^(-k*n/m))^k; the defaults (m=2^17, k=7) give
-    < 1e-12 at n=2,000 keys. False NEGATIVES are impossible — the exact
-    join after the prefilter removes false positives, so end-to-end
-    results are exact."""
+    ~1e-7 at n=2,000 keys (size m ~ 10n bits for ~1% fp in general).
+    False NEGATIVES are impossible — the exact join after the prefilter
+    removes false positives, so end-to-end results are exact."""
 
     def __init__(self, num_bits: int = 1 << 17, num_hashes: int = 7) -> None:
         assert num_bits & (num_bits - 1) == 0, "num_bits must be a power of two"

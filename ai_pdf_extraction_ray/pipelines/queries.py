@@ -672,8 +672,11 @@ def q_value_zscore(sf_dir: str) -> Dataset:
                    Sum("s2_sum", alias_name="s2"),
                    Sum("s_count", alias_name="n"))
     ).to_pandas()  # one row per event type
+    # variance clamped at 0 (float cancellation can go ~-1e-18); a
+    # zero-variance key emits NULL z, matching DuckDB's x/0.0 -> NULL
     table = {
-        r.event_type: (r.s / r.n, (r.s2 / r.n - (r.s / r.n) ** 2) ** 0.5)
+        r.event_type: (r.s / r.n,
+                       max(r.s2 / r.n - (r.s / r.n) ** 2, 0.0) ** 0.5)
         for r in stats.itertuples()
     }
     stats_ref = ray.put(table)
@@ -684,10 +687,15 @@ def q_value_zscore(sf_dir: str) -> Dataset:
         v = b.column("value").to_numpy(zero_copy_only=False)
         mean = np.array([st[t][0] for t in et])
         std = np.array([st[t][1] for t in et])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = _np_round((v - mean) / std, 4)
+        z_col = pa.array(
+            [None if s == 0.0 else float(x) for x, s in zip(z, std)],
+            pa.float64())
         return pa.table({
             "event_id": b.column("event_id"),
             "event_type": b.column("event_type"),
-            "z": pa.array(_np_round((v - mean) / std, 4), pa.float64()),
+            "z": z_col,
         })
 
     return ds.map_batches(normalize, batch_format="pyarrow")
@@ -739,7 +747,9 @@ def q_profile_orders(sf_dir: str):  # noqa: ANN201 — DataFrame
                                      t2.column("val").combine_chunks()]),
         })
 
-    mixed = ds.map_batches(partial, batch_format="pyarrow")
+    # materialized: consumed by both the distinct branch and the meta
+    # branch — one execution of the scan + per-column profile partials
+    mixed = ds.map_batches(partial, batch_format="pyarrow").materialize()
     # distinct counts stay DISTRIBUTED: dedupe (col, val) pairs with a
     # groupby, then per-batch partial counts per col -> tiny groupby sum.
     # The shuffle carries distinct pairs, never the rows.
@@ -868,7 +878,10 @@ def q_sequence_packing(sf_dir: str) -> Dataset:
             "range_id": pa.array(ids // PACK_RANGE, pa.int64()),
         })
 
-    cds = docs.map_batches(counts, batch_format="pyarrow")
+    # materialized: consumed twice (range totals + pack pass); the counted
+    # table is 3 int64 columns — tiny next to the text it replaces, and
+    # materializing avoids tokenizing every document twice
+    cds = docs.map_batches(counts, batch_format="pyarrow").materialize()
 
     def range_partial(b: pa.Table) -> pa.Table:
         return (b.select(["range_id", "n_tokens"])
@@ -1088,12 +1101,15 @@ def q_customers_semi_join_bloom(sf_dir: str) -> Dataset:
     (one bitmap row per block, bounded by block count, never the keys),
     broadcast once via ``ray.put``, and the customer side is prefiltered
     inside ``map_batches`` BEFORE the exact hash join. The join's shuffle
-    then carries only probable matches + a ~1e-12 false-positive tail;
-    the exact join removes false positives, so results are identical."""
+    then carries only probable matches + a ~1e-7 false-positive tail (at
+    the default sizing); the exact join removes false positives, so
+    results are identical."""
     from ..functions.bloom import BloomFilter
     from ..stages.dedup import _join_partitions
 
-    urgent = _urgent_custkeys(sf_dir)
+    # materialized: consumed twice (bitmap build + join input) — without
+    # this the orders scan + groupby shuffle would execute twice
+    urgent = _urgent_custkeys(sf_dir).materialize()
 
     def bitmap(b: pa.Table) -> pa.Table:
         bf = BloomFilter()
@@ -2538,8 +2554,9 @@ QUERIES: dict[str, dict] = {
             WITH st AS (
                 SELECT event_type,
                        sum(value) / count(*) AS mu,
-                       sqrt(sum(value * value) / count(*)
-                            - (sum(value) / count(*)) * (sum(value) / count(*))) AS sd
+                       sqrt(greatest(sum(value * value) / count(*)
+                            - (sum(value) / count(*)) * (sum(value) / count(*)),
+                            0.0)) AS sd
                 FROM events GROUP BY event_type)
             SELECT e.event_id, e.event_type,
                    CAST(round(((e.value - st.mu) / st.sd) * 10000) AS BIGINT) / 10000.0 AS z

@@ -350,8 +350,13 @@ def contamination_flags(sf_dir: str, *, concurrency: int = 2) -> Dataset:
     grams = build_benchmark_ngrams(sf_dir)
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     if not grams:
-        # empty benchmark: the SQL cross-join oracle yields zero rows
-        return docs.filter(lambda _: False)
+        # empty benchmark: the SQL cross-join oracle yields zero rows —
+        # return an empty dataset with the CONTRACT schema, not the input's
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_matches": pa.array([], pa.int64()),
+            "contaminated": pa.array([], pa.int64()),
+        }))
     grams_ref = _ray.put(grams)
     return docs.map_batches(
         ContaminationFlagger, batch_format="pyarrow",

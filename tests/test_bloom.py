@@ -19,7 +19,7 @@ class TestBloomFilter:
         bf.add_many(np.arange(2_000, dtype=np.int64))
         probes = np.arange(1_000_000, 1_100_000, dtype=np.int64)  # disjoint
         fp = bf.contains_many(probes).mean()
-        # theory ~1e-12 at these parameters; allow orders of slack
+        # theory ~1e-7 at these parameters; allow orders of slack
         assert fp < 1e-3
 
     def test_merge_is_union(self):
