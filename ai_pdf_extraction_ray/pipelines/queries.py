@@ -647,6 +647,99 @@ def q_hash_sample(sf_dir: str) -> Dataset:
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def q_incremental_new_docs(sf_dir: str) -> Dataset:
+    """Incremental-ingest dedup (novelty filter): which docs of the NEW
+    batch (odd doc_ids) have content not already present in the PRIOR
+    corpus snapshot (even doc_ids)? Exact content-digest anti join:
+    both sides reduce to distinct digests distributed, then a
+    hash-partitioned left_outer join keeps null-probe rows. The shuffle
+    carries 32-char digests, never documents — the same scale shape as
+    exact_dedup, applied across snapshots."""
+    import hashlib as _hl
+
+    from ..stages.dedup import _join_partitions
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def digests(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        h = [_hl.md5((t or "").encode()).hexdigest()
+             for t in b.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "digest": pa.array(h, pa.string()),
+            "is_new": pa.array(ids % 2 == 1),
+        })
+
+    d = docs.map_batches(digests, batch_format="pyarrow").materialize()
+    new_side = d.filter(expr="is_new == True").select_columns(
+        ["doc_id", "digest"]).materialize()
+    n_new = new_side.count()
+    empty = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
+    if n_new == 0:
+        return empty
+    prior = (
+        d.filter(expr="is_new == False")
+        .groupby("digest")
+        .aggregate(Count(alias_name="n_prior"))
+    ).materialize()
+    if prior.count() == 0:
+        return new_side.select_columns(["doc_id"])
+    # Ray 2.49 hazard: schema-less empty blocks seeding the hash join's
+    # schema broadcast (see dedup.py minhash_near_dups) — repartition both
+    # counted sides into guaranteed non-empty blocks before joining
+    new_side = new_side.repartition(max(1, -(-n_new // 65536))).materialize()
+    prior = prior.repartition(
+        max(1, -(-prior.count() // 65536))).materialize()
+    joined = new_side.join(
+        prior, join_type="left_outer", num_partitions=_join_partitions(),
+        on=("digest",),
+    )
+
+    def novel(b: pa.Table) -> pa.Table:
+        keep = pc.is_null(b.column("n_prior"))
+        return b.filter(keep).select(["doc_id"])
+
+    out = joined.map_batches(novel, batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: b.cast(pa.schema([("doc_id", pa.int64())])),
+        batch_format="pyarrow",
+    )
+
+
+def q_monthly_revenue_delta(sf_dir: str):  # noqa: ANN201 — DataFrame
+    """Time-series rollup with a window over the AGGREGATE: monthly order
+    revenue plus month-over-month delta. Rows reduce to one partial per
+    (month, batch) distributed; the lag runs on the materialized monthly
+    table, bounded by the calendar, never by the data."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+        months = pd.Series(ts).dt.strftime("%Y-%m").to_numpy()
+        t = pa.table({"month": pa.array(months, pa.string()),
+                      "rev": b.column("o_totalprice"),
+                      "one": pa.array(np.ones(len(b), dtype=np.int64))})
+        return t.group_by("month").aggregate([("rev", "sum"), ("one", "sum")])
+
+    monthly = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Sum("rev_sum", alias_name="raw"),
+                   Sum("one_sum", alias_name="n_orders"))
+    ).to_pandas().sort_values("month")  # bounded by the calendar
+    rev = _np_round(monthly["raw"].to_numpy(), 2)
+    prev = np.concatenate([[np.nan], rev[:-1]])
+    delta = _np_round(rev - prev, 2)
+    return pd.DataFrame({
+        "month": monthly["month"].to_numpy(),
+        "n_orders": monthly["n_orders"].astype("int64").to_numpy(),
+        "revenue": rev,
+        "delta": [None if np.isnan(x) else float(x) for x in delta],
+    })
+
+
 def q_value_zscore(sf_dir: str) -> Dataset:
     """Per-key z-score normalization (feature engineering): events value
     standardized within its event type. Two passes: per-key sum/sumsq/count
@@ -2546,6 +2639,29 @@ QUERIES: dict[str, dict] = {
         "sql": """
             SELECT doc_id, n_chars FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        """,
+    },
+    "incremental_new_docs": {
+        "fn": q_incremental_new_docs,
+        "sql": """
+            SELECT doc_id FROM documents
+            WHERE doc_id % 2 = 1
+              AND md5(text) NOT IN (
+                  SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+        """,
+    },
+    "monthly_revenue_delta": {
+        "fn": q_monthly_revenue_delta,
+        "sql": """
+            WITH m AS (
+                SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                       CAST(count(*) AS BIGINT) AS n_orders,
+                       CAST(round((sum(o_totalprice)) * 100) AS BIGINT) / 100.0 AS revenue
+                FROM orders GROUP BY 1)
+            SELECT month, n_orders, revenue,
+                   CAST(round((revenue - lag(revenue) OVER (ORDER BY month)) * 100)
+                        AS BIGINT) / 100.0 AS delta
+            FROM m
         """,
     },
     "value_zscore": {

@@ -101,3 +101,33 @@ class TestPivot:
         cell = truth.iloc[0]
         got = df.loc[df.user_id == cell.user_id, f"n_{cell.event_type}"].iloc[0]
         assert got == cell.n
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIncrementalDedup:
+    def test_planted_cross_snapshot_duplicate_filtered(self, tmp_path):
+        """A new (odd) doc whose text equals a prior (even) doc's text must
+        NOT be reported as novel; unique new docs must be."""
+        from ai_pdf_extraction_ray.pipelines.queries import q_incremental_new_docs
+
+        texts = {0: "alpha beta", 1: "alpha beta",   # 1 duplicates prior 0
+                 2: "gamma delta", 3: "epsilon zeta",  # 3 is novel
+                 4: "eta theta", 5: "gamma delta"}     # 5 duplicates prior 2
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())}
+                     ).to_parquet(tmp_path / "documents.parquet")
+        out = sorted(q_incremental_new_docs(str(tmp_path)).to_pandas()["doc_id"])
+        assert out == [3]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMonthlyDelta:
+    def test_delta_telescopes(self):
+        from ai_pdf_extraction_ray.pipelines.queries import q_monthly_revenue_delta
+
+        df = q_monthly_revenue_delta(SF_SMOKE)
+        assert df["month"].is_monotonic_increasing
+        assert df["delta"].iloc[0] is None or pd.isna(df["delta"].iloc[0])
+        # delta telescopes back to the revenue series
+        rev = df["revenue"].to_numpy()
+        dl = df["delta"].to_numpy(dtype=float)[1:]
+        assert (abs((rev[:-1] + dl) - rev[1:]) < 0.02).all()
