@@ -647,6 +647,80 @@ def q_hash_sample(sf_dir: str) -> Dataset:
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def q_curation_funnel(sf_dir: str):  # noqa: ANN201 — DataFrame
+    """Training-data curation funnel — the composed flagship of the text
+    operators: language filter -> quality filter (word count + TTR) ->
+    benchmark-contamination filter -> exact dedup, reporting documents
+    remaining after each stage.
+
+    One streaming pass computes every per-doc flag (lang, quality,
+    contamination via the broadcast benchmark n-grams, content digest);
+    cumulative counts reduce as per-batch partial sums, and the dedup
+    stage counts distinct digests among survivors with a digest groupby —
+    the corpus is read once and never materialized."""
+    import hashlib as _hl
+
+    from ..stages.textstats import build_benchmark_ngrams
+
+    grams = build_benchmark_ngrams(sf_dir)
+    grams_ref = ray.put(grams)
+    docs = _docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def flags(b: pa.Table) -> pa.Table:
+        gs = ray.get(grams_ref)
+        rows = {"n_all": 0, "n_lang": 0, "n_qual": 0, "n_clean": 0}
+        digests = []
+        for lang, text in zip(b.column("lang").to_pylist(),
+                              b.column("text").to_pylist()):
+            t = text or ""
+            low = t.lower()
+            rows["n_all"] += 1
+            if lang != "en":
+                continue
+            rows["n_lang"] += 1
+            toks = _TOKEN_RE.findall(low)
+            n = len(toks)
+            if not (n >= 20 and len(set(toks)) / n >= 0.4):
+                continue
+            rows["n_qual"] += 1
+            if any(g in low for g in gs):
+                continue
+            rows["n_clean"] += 1
+            digests.append(_hl.md5(t.encode()).hexdigest())
+        t1 = pa.table({k: pa.array([v], pa.int64()) for k, v in rows.items()})
+        t1 = t1.append_column("digest", pa.array([None], pa.string()))
+        t2 = pa.table({
+            "n_all": pa.nulls(len(digests), pa.int64()),
+            "n_lang": pa.nulls(len(digests), pa.int64()),
+            "n_qual": pa.nulls(len(digests), pa.int64()),
+            "n_clean": pa.nulls(len(digests), pa.int64()),
+            "digest": pa.array(digests, pa.string()),
+        })
+        return pa.concat_tables([t1, t2])
+
+    mixed = docs.map_batches(flags, batch_format="pyarrow").materialize()
+    counts = (
+        mixed.map_batches(
+            lambda b: b.filter(pc.is_null(b.column("digest"))),
+            batch_format="pyarrow")
+        .aggregate(Sum("n_all"), Sum("n_lang"), Sum("n_qual"), Sum("n_clean"))
+    )
+    n_dedup = (
+        mixed.map_batches(
+            lambda b: b.filter(pc.is_valid(b.column("digest"))),
+            batch_format="pyarrow")
+        .groupby("digest").aggregate(Count(alias_name="c"))
+    ).count()
+    return pd.DataFrame({
+        "stage_idx": pd.array([1, 2, 3, 4, 5], dtype="int64"),
+        "stage": ["all", "lang_en", "quality", "decontaminated", "deduped"],
+        "n_docs": pd.array([
+            int(counts["sum(n_all)"]), int(counts["sum(n_lang)"]),
+            int(counts["sum(n_qual)"]), int(counts["sum(n_clean)"]),
+            int(n_dedup)], dtype="int64"),
+    })
+
+
 def q_incremental_new_docs(sf_dir: str) -> Dataset:
     """Incremental-ingest dedup (novelty filter): which docs of the NEW
     batch (odd doc_ids) have content not already present in the PRIOR
@@ -2639,6 +2713,39 @@ QUERIES: dict[str, dict] = {
         "sql": """
             SELECT doc_id, n_chars FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        """,
+    },
+    "curation_funnel": {
+        "fn": q_curation_funnel,
+        "sql": r"""
+            WITH f AS (
+                SELECT doc_id, lang, text, lower(text) AS low,
+                       regexp_extract_all(lower(text), '\S+') AS toks
+                FROM documents),
+            q AS (
+                SELECT *,
+                       len(toks) AS n,
+                       CAST(len(list_distinct(toks)) AS DOUBLE)
+                           / len(toks) AS ttr
+                FROM f),
+            bench AS (
+                SELECT array_to_string(
+                           list_slice(regexp_extract_all(lower(text), '\S+'),
+                                      5, 17), ' ') AS ngram
+                FROM documents
+                WHERE doc_id % 97 = 3
+                  AND len(regexp_extract_all(lower(text), '\S+')) >= 17),
+            s2 AS (SELECT * FROM q WHERE lang = 'en'),
+            s3 AS (SELECT * FROM s2 WHERE n >= 20 AND ttr >= 0.4),
+            s4 AS (SELECT * FROM s3 WHERE NOT EXISTS (
+                       SELECT 1 FROM bench b WHERE contains(s3.low, b.ngram)))
+            SELECT CAST(1 AS BIGINT) AS stage_idx, 'all' AS stage,
+                   CAST((SELECT count(*) FROM f) AS BIGINT) AS n_docs
+            UNION ALL SELECT 2, 'lang_en', (SELECT count(*) FROM s2)
+            UNION ALL SELECT 3, 'quality', (SELECT count(*) FROM s3)
+            UNION ALL SELECT 4, 'decontaminated', (SELECT count(*) FROM s4)
+            UNION ALL SELECT 5, 'deduped',
+                   (SELECT count(DISTINCT md5(text)) FROM s4)
         """,
     },
     "incremental_new_docs": {

@@ -115,3 +115,21 @@ class TestVocabBigrams:
         ).df()
         assert got["bigram"].tolist() == want["bigram"].tolist()
         assert got["n"].tolist() == want["n"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCurationFunnel:
+    def test_funnel_is_monotonic_and_grounded(self):
+        import pyarrow.parquet as pq
+
+        from ai_pdf_extraction_ray.pipelines.queries import q_curation_funnel
+
+        df = q_curation_funnel(SF_SMOKE)
+        assert df["stage"].tolist() == [
+            "all", "lang_en", "quality", "decontaminated", "deduped"]
+        n = df["n_docs"].to_numpy()
+        assert (n[:-1] >= n[1:]).all()          # each stage only removes docs
+        t = pq.read_table(f"{SF_SMOKE}/documents.parquet", columns=["lang"])
+        assert n[0] == len(t)
+        assert n[1] == sum(1 for v in t.column("lang").to_pylist() if v == "en")
+        assert n[4] >= 1
