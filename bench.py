@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "gopher_quality",
     "sequence_packing",
     "customers_semi_join",
+    "curation_funnel",
 ]
 
 
