@@ -647,6 +647,51 @@ def q_hash_sample(sf_dir: str) -> Dataset:
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def q_label_centroids(sf_dir: str) -> Dataset:
+    """Vector aggregate: per-label embedding centroid (the k-means /
+    cluster-summary primitive). Per-batch numpy sum + count per label ->
+    one (label, sum_vec, n) row per label per batch; the groupby merges
+    partial sums elementwise and divides once — the shuffle carries
+    dim-length float vectors per (label, batch), never the embeddings.
+    Output exploded to (label, dim, centroid) rows so the DuckDB oracle
+    can restate it with unnest + avg."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        labels = b.column("label").to_numpy(zero_copy_only=False)
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in b.column("embedding").to_pylist()])
+        out_l, out_s, out_n = [], [], []
+        for lab in np.unique(labels):
+            m = labels == lab
+            out_l.append(int(lab))
+            out_s.append(X[m].sum(axis=0).tolist())
+            out_n.append(int(m.sum()))
+        return pa.table({
+            "label": pa.array(out_l, pa.int64()),
+            "sum_vec": pa.array(out_s, pa.list_(pa.float64())),
+            "n": pa.array(out_n, pa.int64()),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        S = np.stack([np.asarray(v, dtype=np.float64) for v in g["sum_vec"]])
+        total = S.sum(axis=0)
+        n = int(g["n"].sum())
+        cent = _np_round(total / n, 6)
+        return pd.DataFrame({
+            "label": np.full(len(cent), int(g["label"].iloc[0]), dtype="int64"),
+            "dim": np.arange(len(cent), dtype="int64"),
+            "centroid": cent,
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def q_curation_funnel(sf_dir: str):  # noqa: ANN201 — DataFrame
     """Training-data curation funnel — the composed flagship of the text
     operators: language filter -> quality filter (word count + TTR) ->
@@ -2713,6 +2758,20 @@ QUERIES: dict[str, dict] = {
         "sql": """
             SELECT doc_id, n_chars FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        """,
+    },
+    "label_centroids": {
+        "fn": q_label_centroids,
+        "sql": """
+            WITH e AS (
+                SELECT label, embedding,
+                       unnest(generate_series(1, len(embedding))) AS i
+                FROM embeddings)
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(i - 1 AS BIGINT) AS dim,
+                   CAST(round((sum(CAST(embedding[i] AS DOUBLE))
+                        / count(*)) * 1000000) AS BIGINT) / 1000000.0 AS centroid
+            FROM e GROUP BY label, i
         """,
     },
     "curation_funnel": {

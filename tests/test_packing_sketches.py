@@ -91,3 +91,20 @@ class TestApproxQuantiles:
             assert got.loc[et, "n"] == exact.loc[et, "n"]
             for p in ("p50", "p90", "p99"):
                 assert abs(got.loc[et, f"{p}_approx"] - exact.loc[et, p]) <= bin_w + 1e-4, (et, p)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLabelCentroids:
+    def test_matches_numpy_groupby(self):
+        import pyarrow.parquet as pq
+
+        from ai_pdf_extraction_ray.pipelines.queries import q_label_centroids
+
+        got = q_label_centroids(SF_SMOKE).to_pandas()
+        t = pq.read_table(f"{SF_SMOKE}/embeddings.parquet").to_pandas()
+        for lab, g in t.groupby("label"):
+            X = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+            want = X.mean(axis=0)
+            sub = got[got.label == lab].sort_values("dim")["centroid"].to_numpy()
+            assert len(sub) == X.shape[1]
+            assert np.abs(sub - want).max() < 1e-5
