@@ -1061,6 +1061,28 @@ def q_tfidf_top_terms(sf_dir: str) -> Dataset:
     return docs.map_batches(topk, batch_format="pyarrow")
 
 
+def q_dataset_split(sf_dir: str) -> Dataset:
+    """Deterministic train/val/test assignment (~90/5/5): the first two
+    md5 hex chars of the doc key partition [00, ff] into three ranges.
+    Like hash_sample, the split depends only on the key — stable across
+    reruns, partitionings, and cluster sizes, and documents never move
+    between splits when the corpus grows."""
+    import hashlib as _hl
+
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        splits = []
+        for i in b.column("doc_id").to_pylist():
+            h = _hl.md5(str(i).encode()).hexdigest()[:2]
+            splits.append("train" if h < "e6" else
+                          "val" if h < "f3" else "test")
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "split": pa.array(splits, pa.string())})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 PACK_CAPACITY = 512        # tokens per training sequence (bin)
 PACK_RANGE = 1_000         # doc_ids per prefix-sum range
 
@@ -2751,6 +2773,18 @@ QUERIES: dict[str, dict] = {
                    CAST(ntile(4) OVER (PARTITION BY event_type
                                        ORDER BY value, event_id) AS BIGINT) AS quartile
             FROM events
+        """,
+    },
+    "dataset_split": {
+        "fn": q_dataset_split,
+        "sql": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                        THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
     },
     "hash_sample": {

@@ -93,3 +93,22 @@ class TestZscoreProfile:
         assert got.loc["o_custkey", "n_distinct"] == want[1]
         assert got.loc["o_custkey", "vmin"] == str(want[2])
         assert got.loc["o_custkey", "vmax"] == str(want[3])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDatasetSplit:
+    def test_split_is_total_stable_and_consistent_with_sample(self):
+        import hashlib
+
+        from ai_pdf_extraction_ray.pipelines.queries import q_dataset_split
+
+        df = q_dataset_split(SF_SMOKE).to_pandas()
+        assert len(df) == 500
+        assert set(df["split"]) <= {"train", "val", "test"}
+        counts = df["split"].value_counts()
+        assert counts["train"] > counts.get("val", 0)  # ~90/5/5 shape
+        # exact membership rule
+        for i, s in zip(df["doc_id"], df["split"]):
+            h = hashlib.md5(str(i).encode()).hexdigest()[:2]
+            want = "train" if h < "e6" else "val" if h < "f3" else "test"
+            assert s == want
