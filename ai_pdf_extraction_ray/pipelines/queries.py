@@ -660,8 +660,10 @@ def q_label_centroids(sf_dir: str) -> Dataset:
 
     def partial(b: pa.Table) -> pa.Table:
         labels = b.column("label").to_numpy(zero_copy_only=False)
-        X = np.stack([np.asarray(v, dtype=np.float64)
-                      for v in b.column("embedding").to_pylist()])
+        # near-zero-copy: reshape the list array's flat values buffer
+        # instead of boxing R*D Python floats through to_pylist
+        emb = b.column("embedding").combine_chunks()
+        X = np.asarray(emb.flatten(), dtype=np.float64).reshape(len(b), -1)
         out_l, out_s, out_n = [], [], []
         for lab in np.unique(labels):
             m = labels == lab
@@ -776,7 +778,7 @@ def q_incremental_new_docs(sf_dir: str) -> Dataset:
     exact_dedup, applied across snapshots."""
     import hashlib as _hl
 
-    from ..stages.dedup import _join_partitions
+    from ..stages.dedup import _join_partitions, nonempty_blocks
 
     docs = _docs(sf_dir, ["doc_id", "text"])
 
@@ -790,26 +792,29 @@ def q_incremental_new_docs(sf_dir: str) -> Dataset:
             "is_new": pa.array(ids % 2 == 1),
         })
 
+    def _contract(ds: Dataset) -> Dataset:
+        return ds.map_batches(
+            lambda b: b.cast(pa.schema([("doc_id", pa.int64())])),
+            batch_format="pyarrow",
+        )
+
     d = docs.map_batches(digests, batch_format="pyarrow").materialize()
     new_side = d.filter(expr="is_new == True").select_columns(
         ["doc_id", "digest"]).materialize()
     n_new = new_side.count()
-    empty = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
     if n_new == 0:
-        return empty
+        return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
     prior = (
         d.filter(expr="is_new == False")
         .groupby("digest")
         .aggregate(Count(alias_name="n_prior"))
     ).materialize()
-    if prior.count() == 0:
-        return new_side.select_columns(["doc_id"])
-    # Ray 2.49 hazard: schema-less empty blocks seeding the hash join's
-    # schema broadcast (see dedup.py minhash_near_dups) — repartition both
-    # counted sides into guaranteed non-empty blocks before joining
-    new_side = new_side.repartition(max(1, -(-n_new // 65536))).materialize()
-    prior = prior.repartition(
-        max(1, -(-prior.count() // 65536))).materialize()
+    n_prior = prior.count()
+    if n_prior == 0:
+        return _contract(new_side.select_columns(["doc_id"]))
+    # guard the hash join against the Ray 2.49 empty-block schema-seed race
+    new_side = nonempty_blocks(new_side, n_new)
+    prior = nonempty_blocks(prior, n_prior)
     joined = new_side.join(
         prior, join_type="left_outer", num_partitions=_join_partitions(),
         on=("digest",),
@@ -819,11 +824,7 @@ def q_incremental_new_docs(sf_dir: str) -> Dataset:
         keep = pc.is_null(b.column("n_prior"))
         return b.filter(keep).select(["doc_id"])
 
-    out = joined.map_batches(novel, batch_format="pyarrow")
-    return out.map_batches(
-        lambda b: b.cast(pa.schema([("doc_id", pa.int64())])),
-        batch_format="pyarrow",
-    )
+    return _contract(joined.map_batches(novel, batch_format="pyarrow"))
 
 
 def q_monthly_revenue_delta(sf_dir: str):  # noqa: ANN201 — DataFrame
@@ -835,9 +836,8 @@ def q_monthly_revenue_delta(sf_dir: str):  # noqa: ANN201 — DataFrame
                          columns=["o_orderdate", "o_totalprice"])
 
     def partial(b: pa.Table) -> pa.Table:
-        ts = b.column("o_orderdate").to_numpy(zero_copy_only=False)
-        months = pd.Series(ts).dt.strftime("%Y-%m").to_numpy()
-        t = pa.table({"month": pa.array(months, pa.string()),
+        months = pc.strftime(b.column("o_orderdate"), format="%Y-%m")
+        t = pa.table({"month": months,
                       "rev": b.column("o_totalprice"),
                       "one": pa.array(np.ones(len(b), dtype=np.int64))})
         return t.group_by("month").aggregate([("rev", "sum"), ("one", "sum")])

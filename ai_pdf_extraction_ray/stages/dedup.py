@@ -84,6 +84,18 @@ def jaccard(a: set[int], b: set[int]) -> float:
 BUCKET_CAP = 512
 
 
+def nonempty_blocks(ds, n_rows: int):  # noqa: ANN001, ANN201 — Dataset
+    """Repartition a COUNTED dataset into guaranteed non-empty blocks.
+
+    Ray 2.49 workaround (diagnosed in minhash_near_dups below): schema-less
+    empty blocks emitted by groupby().map_groups survive map_batches (which
+    skips empty blocks) and can seed a hash-shuffle join's schema broadcast,
+    deterministically crashing the join for that session. Every dataset
+    feeding a Dataset.join must pass through here after counting. ONE call
+    site to update when a Ray upgrade fixes the race."""
+    return ds.repartition(max(1, -(-n_rows // 65536))).materialize()
+
+
 def _join_partitions(cap: int = 16) -> int:
     """Hash-join partition count sized to the cluster: each partition runs
     a HashShuffleAggregator actor, and over-provisioning them beyond the
@@ -284,7 +296,7 @@ def minhash_near_dups(
     # ("No match ... FieldRef.Name(doc_a)") — deterministically for that
     # session. Repartitioning the counted candidate set into guaranteed
     # non-empty blocks removes every empty block before the join.
-    cand = cand.repartition(max(1, -(-n_pairs // 65536))).materialize()
+    cand = nonempty_blocks(cand, n_pairs)
     verified = verify_pairs_jaccard(cand, docs, k=k)
     out = verified.filter(expr=f"jaccard >= {threshold}").to_pandas()
     if out.empty:
@@ -536,7 +548,7 @@ def embedding_near_dups_lsh(
         return empty
     # guaranteed non-empty blocks before the joins (see minhash_near_dups:
     # schema-less map_groups blocks must not seed the join's schema broadcast)
-    cand = cand.repartition(max(1, -(-n_pairs // 65536))).materialize()
+    cand = nonempty_blocks(cand, n_pairs)
 
     # pa.Table.join rejects list-typed non-key columns, so vectors ride the
     # join as packed float32 BINARY and unpack in the verify kernel

@@ -299,7 +299,11 @@ class _FastScanner:
                 if lower is None:
                     lower = html.lower()
                 close = lower.find(f"</{tag}", pos)
-                pos = n if close < 0 else _TAG_RE.match(html, close).end() if _TAG_RE.match(html, close) else close + len(tag) + 3
+                if close < 0:
+                    pos = n
+                else:
+                    m2 = tag_match(html, close)
+                    pos = m2.end() if m2 else close + len(tag) + 3
                 continue
 
             if closing:
