@@ -1061,6 +1061,111 @@ def q_tfidf_top_terms(sf_dir: str) -> Dataset:
     return docs.map_batches(topk, batch_format="pyarrow")
 
 
+def q_daily_active_users(sf_dir: str) -> Dataset:
+    """Grouped distinct count: active users per day. Per-batch (day, user)
+    dedupe partials -> groupby collapses duplicates -> per-batch partial
+    counts per day -> tiny groupby sum. Both shuffles carry (day, user) /
+    (day, count) rows, never events."""
+    ds = _events(sf_dir, ["ts", "user_id"])
+
+    def day_user(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "day": pc.strftime(b.column("ts"), format="%Y-%m-%d"),
+            "user_id": b.column("user_id"),
+        })
+        return t.group_by(["day", "user_id"]).aggregate([([], "count_all")])
+
+    pairs = (
+        ds.map_batches(day_user, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .aggregate(Count(alias_name="c"))
+    )
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"day": b.column("day"),
+                      "one": pa.array(np.ones(len(b), dtype=np.int64))})
+        return t.group_by("day").aggregate([("one", "sum")])
+
+    out = (
+        pairs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("one_sum", alias_name="n_users"))
+    )
+    return out.map_batches(
+        lambda b: pa.table({"day": b.column("day"),
+                            "n_users": b.column("n_users").cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+def q_cohort_retention(sf_dir: str) -> Dataset:
+    """Cohort retention: users grouped by first-seen week, distinct users
+    active per week offset since their first event. The user->first-week
+    table is built with the partial-min pattern and BROADCAST via
+    ``ray.put`` (bounded by the user dimension); events then tag
+    themselves locally — no self-join shuffle."""
+    ds = _events(sf_dir, ["ts", "user_id"])
+
+    def min_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b.column("user_id"), "ts": b.column("ts")})
+        return t.group_by("user_id").aggregate([("ts", "min")])
+
+    firsts = (
+        ds.map_batches(min_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("ts_min", alias_name="first_ts"))
+    ).to_pandas()  # bounded by |users| — the broadcast dimension
+    first_map = dict(zip(firsts["user_id"].astype(int),
+                         firsts["first_ts"].to_numpy()))
+    first_ref = ray.put(first_map)
+
+    def tag(b: pa.Table) -> pa.Table:
+        fm = ray.get(first_ref)
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        ts = b.column("ts").to_numpy(zero_copy_only=False)
+        first = np.array([fm[int(u)] for u in uid], dtype="datetime64[us]")
+        week_off = ((ts - first) // np.timedelta64(7, "D")).astype(np.int64)
+        cohort = pd.Series(first).dt.strftime("%Y-%m-%d").to_numpy()
+        # partial dedupe of (cohort, week_off, user) within the batch
+        t = pa.table({
+            "cohort_first_day": pa.array(cohort, pa.string()),
+            "week_offset": pa.array(week_off, pa.int64()),
+            "user_id": b.column("user_id"),
+        })
+        return t.group_by(
+            ["cohort_first_day", "week_offset", "user_id"]
+        ).aggregate([([], "count_all")])
+
+    tagged = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby(["cohort_first_day", "week_offset", "user_id"])
+        .aggregate(Count(alias_name="c"))
+    )
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "cohort_first_day": b.column("cohort_first_day"),
+            "week_offset": b.column("week_offset"),
+            "one": pa.array(np.ones(len(b), dtype=np.int64)),
+        })
+        return t.group_by(["cohort_first_day", "week_offset"]).aggregate(
+            [("one", "sum")])
+
+    out = (
+        tagged.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["cohort_first_day", "week_offset"])
+        .aggregate(Sum("one_sum", alias_name="n_users"))
+    )
+    return out.map_batches(
+        lambda b: pa.table({
+            "cohort_first_day": b.column("cohort_first_day"),
+            "week_offset": b.column("week_offset").cast(pa.int64()),
+            "n_users": b.column("n_users").cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def q_dataset_split(sf_dir: str) -> Dataset:
     """Deterministic train/val/test assignment (~90/5/5): the first two
     md5 hex chars of the doc key partition [00, ff] into three ranges.
@@ -2773,6 +2878,28 @@ QUERIES: dict[str, dict] = {
                    CAST(ntile(4) OVER (PARTITION BY event_type
                                        ORDER BY value, event_id) AS BIGINT) AS quartile
             FROM events
+        """,
+    },
+    "daily_active_users": {
+        "fn": q_daily_active_users,
+        "sql": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1
+        """,
+    },
+    "cohort_retention": {
+        "fn": q_cohort_retention,
+        "sql": """
+            WITH f AS (
+                SELECT user_id, min(ts) AS first_ts FROM events
+                GROUP BY user_id)
+            SELECT strftime(f.first_ts, '%Y-%m-%d') AS cohort_first_day,
+                   CAST(date_diff('microsecond', f.first_ts, e.ts)
+                        // 604800000000 AS BIGINT) AS week_offset,
+                   CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+            FROM events e JOIN f USING (user_id)
+            GROUP BY 1, 2
         """,
     },
     "dataset_split": {

@@ -131,3 +131,31 @@ class TestMonthlyDelta:
         rev = df["revenue"].to_numpy()
         dl = df["delta"].to_numpy(dtype=float)[1:]
         assert (abs((rev[:-1] + dl) - rev[1:]) < 0.02).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAnalytics:
+    def test_dau_bounds(self):
+        import pyarrow.parquet as pq
+
+        from ai_pdf_extraction_ray.pipelines.queries import q_daily_active_users
+
+        df = q_daily_active_users(SF_SMOKE).to_pandas()
+        ev = pq.read_table(f"{SF_SMOKE}/events.parquet",
+                           columns=["user_id"]).to_pandas()
+        n_users = ev["user_id"].nunique()
+        assert (df["n_users"] <= n_users).all()
+        assert (df["n_users"] >= 1).all()
+
+    def test_cohort_week_zero_covers_every_user(self):
+        """Every user is active in their own cohort's week 0 by definition,
+        so week-0 rows summed over cohorts == total distinct users."""
+        import pyarrow.parquet as pq
+
+        from ai_pdf_extraction_ray.pipelines.queries import q_cohort_retention
+
+        df = q_cohort_retention(SF_SMOKE).to_pandas()
+        ev = pq.read_table(f"{SF_SMOKE}/events.parquet",
+                           columns=["user_id"]).to_pandas()
+        assert df[df.week_offset == 0]["n_users"].sum() == ev["user_id"].nunique()
+        assert (df["week_offset"] >= 0).all()
