@@ -1003,6 +1003,55 @@ def q_profile_orders(sf_dir: str):  # noqa: ANN201 — DataFrame
     return pd.DataFrame(rows)
 
 
+def q_unigram_logprob(sf_dir: str) -> Dataset:
+    """CCNet-style language-model quality score (unigram): mean per-token
+    log probability under the corpus's own unigram distribution — low
+    scores mark out-of-distribution / junk documents. Same two-stage
+    broadcast shape as TF-IDF: one shuffle builds corpus term counts, the
+    frequency table broadcasts once via ``ray.put``, and each batch scores
+    locally. p(t) = count(t)/total over the full corpus; both sides
+    compute ln identically (libm doubles)."""
+    import math
+    from collections import Counter
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def tf_partial(b: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in b.column("text").to_pylist():
+            c.update(_TOKEN_RE.findall((t or "").lower()))
+        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    freq = (
+        docs.map_batches(tf_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    ).to_pandas()  # bounded by vocabulary (prune by min count at web scale)
+    total = int(freq["n"].sum())
+    freq_ref = ray.put(dict(zip(freq["token"], freq["n"].astype(int))))
+
+    def score(b: pa.Table) -> pa.Table:
+        fm = ray.get(freq_ref)
+        out_n, out_lp = [], []
+        for t in b.column("text").to_pylist():
+            toks = _TOKEN_RE.findall((t or "").lower())
+            if not toks:
+                out_n.append(0)
+                out_lp.append(None)
+                continue
+            lp = sum(math.log(fm[tok] / total) for tok in toks) / len(toks)
+            out_n.append(len(toks))
+            out_lp.append(_py_round(lp, 4))
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": pa.array(out_n, pa.int64()),
+            "mean_logprob": pa.array(out_lp, pa.float64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 def q_tfidf_top_terms(sf_dir: str) -> Dataset:
     """TF-IDF term scoring: top-3 terms per document by tf * ln(N/df).
 
@@ -1547,6 +1596,50 @@ def q_orders_rollup(sf_dir: str):  # noqa: ANN201 — DataFrame
         "raw": [fine["raw"].sum()], "n_orders": [fine["n_orders"].sum()],
     })
     levels.append(total)
+    out = pd.concat(levels, ignore_index=True)
+    return pd.DataFrame({
+        "o_orderstatus": out["o_orderstatus"],
+        "o_orderpriority": out["o_orderpriority"],
+        "n_orders": out["n_orders"].astype("int64"),
+        "revenue": _np_round(out["raw"].to_numpy(), 2),
+    })
+
+
+def q_orders_cube(sf_dir: str):  # noqa: ANN201 — DataFrame
+    """CUBE(status, priority): every grouping-set combination — leaves,
+    each single-key subtotal, and the grand total. Same scale shape as
+    ROLLUP: rows reduce to the finest level distributed; the three
+    coarser levels re-aggregate the bounded materialized result."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_orderstatus": batch.column("o_orderstatus"),
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "price": batch.column("o_totalprice"),
+        })
+        return t.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("price", "sum"), ("price", "count")])
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Sum("price_sum", alias_name="raw"),
+                   Sum("price_count", alias_name="n_orders"))
+    ).to_pandas()  # bounded by |status| x |priority|
+
+    levels = [fine]
+    for keep, drop in [("o_orderstatus", "o_orderpriority"),
+                       ("o_orderpriority", "o_orderstatus")]:
+        sub = fine.groupby(keep, as_index=False).agg(
+            raw=("raw", "sum"), n_orders=("n_orders", "sum"))
+        sub[drop] = _ROLLUP_ALL
+        levels.append(sub)
+    levels.append(pd.DataFrame({
+        "o_orderstatus": [_ROLLUP_ALL], "o_orderpriority": [_ROLLUP_ALL],
+        "raw": [fine["raw"].sum()], "n_orders": [fine["n_orders"].sum()],
+    }))
     out = pd.concat(levels, ignore_index=True)
     return pd.DataFrame({
         "o_orderstatus": out["o_orderstatus"],
@@ -3229,6 +3322,36 @@ QUERIES: dict[str, dict] = {
                    CAST(round((sum(o_totalprice)) * 100) AS BIGINT) / 100.0 AS revenue
             FROM orders
             GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+    },
+    "orders_cube": {
+        "fn": q_orders_cube,
+        "sql": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(round((sum(o_totalprice)) * 100) AS BIGINT) / 100.0 AS revenue
+            FROM orders
+            GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+    },
+    "unigram_logprob": {
+        "fn": q_unigram_logprob,
+        "sql": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '\S+')) AS token
+                FROM documents),
+            freq AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+            tot AS (SELECT count(*) AS total FROM tok)
+            SELECT d.doc_id,
+                   CAST(coalesce(t.cnt, 0) AS BIGINT) AS n_tokens,
+                   CAST(round((t.mlp) * 10000) AS BIGINT) / 10000.0 AS mean_logprob
+            FROM documents d LEFT JOIN (
+                SELECT doc_id, count(*) AS cnt,
+                       avg(ln(CAST(f.n AS DOUBLE) / tot.total)) AS mlp
+                FROM tok JOIN freq f USING (token) CROSS JOIN tot
+                GROUP BY doc_id) t USING (doc_id)
         """,
     },
     "events_pivot": {

@@ -159,3 +159,36 @@ class TestAnalytics:
                            columns=["user_id"]).to_pandas()
         assert df[df.week_offset == 0]["n_users"].sum() == ev["user_id"].nunique()
         assert (df["week_offset"] >= 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCube:
+    def test_cube_contains_all_grouping_sets(self):
+        from ai_pdf_extraction_ray.pipelines.queries import q_orders_cube, q_orders_rollup
+
+        cube = q_orders_cube(SF_SMOKE)
+        roll = q_orders_rollup(SF_SMOKE)
+        # cube ⊇ rollup rows, plus the priority-only subtotals
+        key = ["o_orderstatus", "o_orderpriority"]
+        cube_keys = set(map(tuple, cube[key].to_numpy()))
+        assert set(map(tuple, roll[key].to_numpy())) <= cube_keys
+        prio_only = cube[(cube.o_orderstatus == "ALL") & (cube.o_orderpriority != "ALL")]
+        assert len(prio_only) >= 2
+        total = cube[(cube.o_orderstatus == "ALL") & (cube.o_orderpriority == "ALL")]
+        assert prio_only["n_orders"].sum() == total["n_orders"].iloc[0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUnigramLogprob:
+    def test_rare_token_doc_scores_lower(self, tmp_path):
+        """A doc full of corpus-rare tokens scores below one full of
+        corpus-common tokens — the signal's defining property."""
+        from ai_pdf_extraction_ray.pipelines.queries import q_unigram_logprob
+
+        texts = (["common words appear here"] * 8
+                 + ["common words appear here zzz_rare_one zzz_rare_two"])
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}).to_parquet(
+            tmp_path / "documents.parquet")
+        df = q_unigram_logprob(str(tmp_path)).to_pandas().set_index("doc_id")
+        assert df.loc[8, "mean_logprob"] < df.loc[0, "mean_logprob"]
+        assert (df["n_tokens"] > 0).all()
