@@ -1,0 +1,119 @@
+"""End-to-end corpus curation job: the composed training-data pipeline.
+
+documents.parquet -> one streaming pass of per-doc flags (language filter,
+word-count + TTR quality, benchmark-contamination via broadcast n-grams,
+content digest) -> exact dedup keep-first -> deterministic train/val/test
+assignment -> split-partitioned parquet sink + a JSON report.
+
+Scale shape: the corpus is read once and streams to the sink; the only
+shuffle is the digest groupby for dedup (16-byte digests + doc ids, never
+documents); the benchmark set broadcasts once via ``ray.put``; the split
+decision is pure key hashing (rerun/cluster stable). Output is partitioned
+by split so a consumer prunes at the read.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Min
+
+from ..stages.textstats import _TOKEN, build_benchmark_ngrams
+
+MIN_WORDS = 20
+MIN_TTR = 0.4
+KEEP_LANG = "en"
+
+
+def _flagged_docs(sf_dir: str, grams_ref) -> Dataset:  # noqa: ANN001
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "text"])
+
+    def flags(b: pa.Table) -> pa.Table:
+        gs = ray.get(grams_ref)
+        keep_rows, digests = [], []
+        for lang, text in zip(b.column("lang").to_pylist(),
+                              b.column("text").to_pylist()):
+            t = text or ""
+            low = t.lower()
+            ok = False
+            if lang == KEEP_LANG:
+                toks = _TOKEN.findall(low)
+                n = len(toks)
+                if n >= MIN_WORDS and len(set(toks)) / n >= MIN_TTR:
+                    ok = not any(g in low for g in gs)
+            keep_rows.append(ok)
+            digests.append(hashlib.md5(t.encode()).hexdigest())
+        t2 = b.append_column("digest", pa.array(digests, pa.string()))
+        return t2.filter(pa.array(keep_rows))
+
+    return docs.map_batches(flags, batch_format="pyarrow")
+
+
+def _with_split(ds: Dataset) -> Dataset:
+    def assign(b: pa.Table) -> pa.Table:
+        splits = []
+        for i in b.column("doc_id").to_pylist():
+            h = hashlib.md5(str(i).encode()).hexdigest()[:2]
+            splits.append("train" if h < "e6" else "val" if h < "f3" else "test")
+        return b.append_column("split", pa.array(splits, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def curate_job(sf_dir: str, out_dir: str) -> dict:
+    """Run the full curation pipeline and write split-partitioned parquet.
+
+    Returns the report dict (also written to ``out_dir/_REPORT.json``):
+    input/kept/deduped counts and per-split row counts.
+    """
+    grams_ref = ray.put(build_benchmark_ngrams(sf_dir))
+    kept = _flagged_docs(sf_dir, grams_ref)
+
+    # exact dedup keep-first: min doc_id per digest (digest groupby — the
+    # one shuffle), then keep rows whose id IS the canonical id
+    canon = kept.groupby("digest").aggregate(Min("doc_id", alias_name="keep_id"))
+
+    # canonical id set is bounded by the KEPT corpus; broadcast as a numpy
+    # id array (at 100 TB this would be the digest->keep_id table joined
+    # instead — same output, one more shuffle)
+    keep_ids = canon.to_pandas()["keep_id"].to_numpy()
+    keep_ref = ray.put(np.sort(keep_ids))
+
+    def dedup(b: pa.Table) -> pa.Table:
+        keep = ray.get(keep_ref)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keep, ids)
+        mask = (idx < len(keep)) & (keep[np.clip(idx, 0, len(keep) - 1)] == ids)
+        return b.filter(pa.array(mask)).drop_columns(["digest"])
+
+    final = _with_split(kept.map_batches(dedup, batch_format="pyarrow"))
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    final.write_parquet(str(out), partition_cols=["split"])
+
+    import pyarrow.dataset as pads
+
+    written = pads.dataset(str(out), format="parquet", partitioning="hive")
+    tbl = written.to_table(columns=["split"])
+    counts = tbl.group_by("split").aggregate([([], "count_all")]).to_pydict()
+    per_split = dict(zip(
+        [str(s) for s in counts["split"]],
+        [int(c) for c in counts["count_all"]]))
+    n_input = rd.read_parquet(f"{sf_dir}/documents.parquet").count()
+    report = {
+        "n_input": int(n_input),
+        "n_kept": int(len(keep_ids)),
+        "per_split": per_split,
+    }
+    (out / "_REPORT.json").write_text(json.dumps(report, sort_keys=True))
+    return report
