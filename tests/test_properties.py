@@ -124,3 +124,70 @@ class TestGeneratorDeterminism:
             "lang": pa.array(["en"], pa.string()),
         })
         assert synthesize_pages_batch(batch).equals(synthesize_pages_batch(batch))
+
+
+class TestClusterPairsProperties:
+    """Union-find vs brute-force transitive closure on random edge sets."""
+
+    @given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                    min_size=0, max_size=40))
+    @settings(max_examples=100, deadline=None)
+    def test_matches_brute_force_closure(self, edges: list[tuple[int, int]]):
+        import pandas as pd
+
+        from ai_pdf_extraction_ray.stages.dedup import cluster_pairs
+
+        edges = [(a, b) for a, b in edges if a != b]
+        label, size = cluster_pairs(pd.DataFrame({
+            "doc_a": [a for a, _ in edges],
+            "doc_b": [b for _, b in edges]}))
+        # brute force: repeated relaxation until fixpoint
+        nodes = {n for e in edges for n in e}
+        ref = {n: n for n in nodes}
+        changed = True
+        while changed:
+            changed = False
+            for a, b in edges:
+                lo = min(ref[a], ref[b])
+                for n in (a, b):
+                    if ref[n] != lo:
+                        # relabel the whole component, not just the endpoint
+                        old = ref[n]
+                        for k in ref:
+                            if ref[k] == old:
+                                ref[k] = lo
+                        changed = True
+        assert label == ref
+        from collections import Counter
+
+        assert size == Counter(ref.values())
+
+
+class TestBloomProperties:
+    @given(st.lists(st.integers(-2**40, 2**40), min_size=0, max_size=300))
+    @settings(max_examples=50, deadline=None)
+    def test_never_false_negative(self, keys: list[int]):
+        import numpy as np
+
+        from ai_pdf_extraction_ray.functions.bloom import BloomFilter
+
+        bf = BloomFilter()
+        arr = np.array(keys, dtype=np.int64) if keys else np.array([], dtype=np.int64)
+        bf.add_many(arr)
+        if keys:
+            assert bf.contains_many(arr).all()
+
+    @given(st.lists(st.integers(0, 10**6), min_size=1, max_size=200),
+           st.lists(st.integers(0, 10**6), min_size=1, max_size=200))
+    @settings(max_examples=50, deadline=None)
+    def test_merge_equals_union_build(self, ka: list[int], kb: list[int]):
+        import numpy as np
+
+        from ai_pdf_extraction_ray.functions.bloom import BloomFilter
+
+        a, b, u = BloomFilter(), BloomFilter(), BloomFilter()
+        a.add_many(np.array(ka, dtype=np.int64))
+        b.add_many(np.array(kb, dtype=np.int64))
+        u.add_many(np.array(ka + kb, dtype=np.int64))
+        a.merge(b)
+        assert (a.bits == u.bits).all()
