@@ -20,7 +20,6 @@ from pathlib import Path
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -33,6 +32,38 @@ MIN_WORDS = 20
 MIN_TTR = 0.4
 KEEP_LANG = "en"
 
+# funnel stage outcomes for one document (shared by curate_job and the
+# curation_funnel catalog query so the reported per-stage counts always
+# describe what the job actually ships)
+STAGE_LANG_REJECT = 0
+STAGE_QUALITY_REJECT = 1
+STAGE_CONTAMINATED = 2
+STAGE_KEEP = 3
+
+
+def curation_stage(lang: str | None, text: str | None,
+                   grams: list[str]) -> int:
+    """How far one document gets through the curation funnel."""
+    t = text or ""
+    low = t.lower()
+    if lang != KEEP_LANG:
+        return STAGE_LANG_REJECT
+    toks = _TOKEN.findall(low)
+    n = len(toks)
+    if not (n >= MIN_WORDS and len(set(toks)) / n >= MIN_TTR):
+        return STAGE_QUALITY_REJECT
+    if any(g in low for g in grams):
+        return STAGE_CONTAMINATED
+    return STAGE_KEEP
+
+
+def assign_split(doc_id: int) -> str:
+    """Deterministic ~90/5/5 train/val/test assignment — the ONE split
+    rule (catalog query `dataset_split` and curate_job share it, so the
+    written partitions always match the catalog's assignment)."""
+    h = hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+    return "train" if h < "e6" else "val" if h < "f3" else "test"
+
 
 def _flagged_docs(sf_dir: str, grams_ref) -> Dataset:  # noqa: ANN001
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -43,16 +74,8 @@ def _flagged_docs(sf_dir: str, grams_ref) -> Dataset:  # noqa: ANN001
         keep_rows, digests = [], []
         for lang, text in zip(b.column("lang").to_pylist(),
                               b.column("text").to_pylist()):
-            t = text or ""
-            low = t.lower()
-            ok = False
-            if lang == KEEP_LANG:
-                toks = _TOKEN.findall(low)
-                n = len(toks)
-                if n >= MIN_WORDS and len(set(toks)) / n >= MIN_TTR:
-                    ok = not any(g in low for g in gs)
-            keep_rows.append(ok)
-            digests.append(hashlib.md5(t.encode()).hexdigest())
+            keep_rows.append(curation_stage(lang, text, gs) == STAGE_KEEP)
+            digests.append(hashlib.md5((text or "").encode()).hexdigest())
         t2 = b.append_column("digest", pa.array(digests, pa.string()))
         return t2.filter(pa.array(keep_rows))
 
@@ -61,10 +84,7 @@ def _flagged_docs(sf_dir: str, grams_ref) -> Dataset:  # noqa: ANN001
 
 def _with_split(ds: Dataset) -> Dataset:
     def assign(b: pa.Table) -> pa.Table:
-        splits = []
-        for i in b.column("doc_id").to_pylist():
-            h = hashlib.md5(str(i).encode()).hexdigest()[:2]
-            splits.append("train" if h < "e6" else "val" if h < "f3" else "test")
+        splits = [assign_split(i) for i in b.column("doc_id").to_pylist()]
         return b.append_column("split", pa.array(splits, pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
@@ -77,7 +97,10 @@ def curate_job(sf_dir: str, out_dir: str) -> dict:
     input/kept/deduped counts and per-split row counts.
     """
     grams_ref = ray.put(build_benchmark_ngrams(sf_dir))
-    kept = _flagged_docs(sf_dir, grams_ref)
+    # materialized: consumed by the dedup groupby AND the sink pass — one
+    # execution of the read + gate + digest lineage, as the docstring
+    # promises (review finding: un-materialized it ran twice)
+    kept = _flagged_docs(sf_dir, grams_ref).materialize()
 
     # exact dedup keep-first: min doc_id per digest (digest groupby — the
     # one shuffle), then keep rows whose id IS the canonical id

@@ -708,6 +708,12 @@ def q_curation_funnel(sf_dir: str):  # noqa: ANN201 — DataFrame
     import hashlib as _hl
 
     from ..stages.textstats import build_benchmark_ngrams
+    from .curate import (
+        STAGE_CONTAMINATED,
+        STAGE_KEEP,
+        STAGE_QUALITY_REJECT,
+        curation_stage,
+    )
 
     grams = build_benchmark_ngrams(sf_dir)
     grams_ref = ray.put(grams)
@@ -719,21 +725,17 @@ def q_curation_funnel(sf_dir: str):  # noqa: ANN201 — DataFrame
         digests = []
         for lang, text in zip(b.column("lang").to_pylist(),
                               b.column("text").to_pylist()):
-            t = text or ""
-            low = t.lower()
+            # ONE gate implementation, shared with pipelines/curate.py's
+            # curate_job so the funnel counts describe what the job ships
+            stage = curation_stage(lang, text, gs)
             rows["n_all"] += 1
-            if lang != "en":
-                continue
-            rows["n_lang"] += 1
-            toks = _TOKEN_RE.findall(low)
-            n = len(toks)
-            if not (n >= 20 and len(set(toks)) / n >= 0.4):
-                continue
-            rows["n_qual"] += 1
-            if any(g in low for g in gs):
-                continue
-            rows["n_clean"] += 1
-            digests.append(_hl.md5(t.encode()).hexdigest())
+            if stage >= STAGE_QUALITY_REJECT:
+                rows["n_lang"] += 1
+            if stage >= STAGE_CONTAMINATED:
+                rows["n_qual"] += 1
+            if stage == STAGE_KEEP:
+                rows["n_clean"] += 1
+                digests.append(_hl.md5((text or "").encode()).hexdigest())
         t1 = pa.table({k: pa.array([v], pa.int64()) for k, v in rows.items()})
         t1 = t1.append_column("digest", pa.array([None], pa.string()))
         t2 = pa.table({
@@ -1220,17 +1222,14 @@ def q_dataset_split(sf_dir: str) -> Dataset:
     md5 hex chars of the doc key partition [00, ff] into three ranges.
     Like hash_sample, the split depends only on the key — stable across
     reruns, partitionings, and cluster sizes, and documents never move
-    between splits when the corpus grows."""
-    import hashlib as _hl
+    between splits when the corpus grows. The assignment rule lives in
+    pipelines/curate.py (`assign_split`) and is shared with curate_job."""
+    from .curate import assign_split
 
     ds = _docs(sf_dir, ["doc_id"])
 
     def assign(b: pa.Table) -> pa.Table:
-        splits = []
-        for i in b.column("doc_id").to_pylist():
-            h = _hl.md5(str(i).encode()).hexdigest()[:2]
-            splits.append("train" if h < "e6" else
-                          "val" if h < "f3" else "test")
+        splits = [assign_split(i) for i in b.column("doc_id").to_pylist()]
         return pa.table({"doc_id": b.column("doc_id"),
                          "split": pa.array(splits, pa.string())})
 

@@ -548,7 +548,10 @@ def embedding_near_dups_lsh(
         empty_g = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
                                 "vec_b": pd.Series(dtype="int64"),
                                 "cos": pd.Series(dtype="float64")})
-        g = g.sort_values("vec_id")
+        # drop_duplicates: a repeated vec_id in the input would otherwise
+        # form a degenerate (x, x) self-pair with cos 1.0 (robustness
+        # guard the rewrite had dropped; review finding)
+        g = g.drop_duplicates("vec_id").sort_values("vec_id")
         if len(g) < 2:
             return empty_g
         g = g.head(bucket_cap)  # capped all-pairs (degenerate-bucket guard)
