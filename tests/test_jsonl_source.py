@@ -1,0 +1,63 @@
+"""JSONL source lane: normalization to the canonical documents schema."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJsonlSource:
+    def _write(self, path, records):
+        with open(path, "w") as f:
+            for r in records:
+                f.write(json.dumps(r) + "\n")
+
+    def test_normalizes_and_flags(self, tmp_path):
+        from ai_pdf_extraction_ray.sources.jsonl import read_jsonl_corpus
+
+        p = tmp_path / "corpus.jsonl"
+        self._write(p, [
+            {"doc_id": 1, "text": "hello world", "lang": "en", "source": "cc"},
+            {"doc_id": 2, "text": "bonjour", "n_chars": 999},   # n_chars lies
+            {"text": "no id record"},
+            {"doc_id": 4, "text": ""},                           # empty
+            {"doc_id": 5},                                       # missing text
+        ])
+        df = read_jsonl_corpus(str(p)).to_pandas().sort_values("doc_id")
+        by_id = df.set_index("doc_id")
+        assert by_id.loc[1, "lang"] == "en" and by_id.loc[1, "source"] == "cc"
+        assert by_id.loc[2, "lang"] == "und"
+        assert by_id.loc[2, "n_chars"] == len("bonjour")  # recomputed
+        assert by_id.loc[4, "ingest_error"] == "empty_or_missing_text"
+        assert by_id.loc[5, "ingest_error"] == "empty_or_missing_text"
+        ok = df[df.ingest_error.isna()]
+        assert len(ok) == 3
+        # derived id is stable and non-negative
+        derived = df[~df.doc_id.isin([1, 2, 4, 5])]
+        assert len(derived) == 1 and (derived["doc_id"] >= 0).all()
+
+    def test_derived_ids_deterministic_across_runs(self, tmp_path):
+        from ai_pdf_extraction_ray.sources.jsonl import read_jsonl_corpus
+
+        p = tmp_path / "c.jsonl"
+        self._write(p, [{"text": f"record number {i}"} for i in range(20)])
+        a = sorted(read_jsonl_corpus(str(p)).to_pandas()["doc_id"])
+        b = sorted(read_jsonl_corpus(str(p)).to_pandas()["doc_id"])
+        assert a == b
+        assert len(set(a)) == 20
+
+    def test_feeds_downstream_operators(self, tmp_path):
+        """The normalized table drives the text operators unchanged."""
+        from ai_pdf_extraction_ray.sources.jsonl import read_jsonl_corpus
+        from ai_pdf_extraction_ray.stages.textstats import GopherSignals
+
+        p = tmp_path / "c.jsonl"
+        self._write(p, [{"doc_id": i, "text": "alpha beta gamma alpha"}
+                        for i in range(5)])
+        ds = read_jsonl_corpus(str(p)).map_batches(
+            GopherSignals, batch_format="pyarrow", concurrency=1)
+        df = ds.to_pandas()
+        assert len(df) == 5
+        assert (df["n_words"] == 4).all()
