@@ -770,6 +770,39 @@ def q_curation_funnel(sf_dir: str):  # noqa: ANN201 — DataFrame
     })
 
 
+def q_curation_splits(sf_dir: str) -> Dataset:
+    """Per-split doc counts of the CURATED corpus — the value-verified twin
+    of ``curate_job``'s report: same gate (shared ``curation_stage``), same
+    dedup keep-first, same ``assign_split`` rule, restated end-to-end in
+    the SQL oracle. A report the driver can hash-check ties the sink job's
+    output to the correctness gate."""
+    from ray.data.aggregate import Min as _Min
+
+    from ..stages.textstats import build_benchmark_ngrams
+    from .curate import _flagged_docs, assign_split
+
+    grams_ref = ray.put(build_benchmark_ngrams(sf_dir))
+    kept = _flagged_docs(sf_dir, grams_ref)
+    canon = kept.groupby("digest").aggregate(_Min("doc_id", alias_name="keep_id"))
+
+    def split_partial(b: pa.Table) -> pa.Table:
+        splits = [assign_split(i) for i in b.column("keep_id").to_pylist()]
+        t = pa.table({"split": pa.array(splits, pa.string()),
+                      "one": pa.array(np.ones(len(b), dtype=np.int64))})
+        return t.group_by("split").aggregate([("one", "sum")])
+
+    out = (
+        canon.map_batches(split_partial, batch_format="pyarrow")
+        .groupby("split")
+        .aggregate(Sum("one_sum", alias_name="n_docs"))
+    )
+    return out.map_batches(
+        lambda b: pa.table({"split": b.column("split"),
+                            "n_docs": b.column("n_docs").cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
 def q_incremental_new_docs(sf_dir: str) -> Dataset:
     """Incremental-ingest dedup (novelty filter): which docs of the NEW
     batch (odd doc_ids) have content not already present in the PRIOR
@@ -3058,6 +3091,38 @@ QUERIES: dict[str, dict] = {
             UNION ALL SELECT 4, 'decontaminated', (SELECT count(*) FROM s4)
             UNION ALL SELECT 5, 'deduped',
                    (SELECT count(DISTINCT md5(text)) FROM s4)
+        """,
+    },
+    "curation_splits": {
+        "fn": q_curation_splits,
+        "sql": r"""
+            WITH f AS (
+                SELECT doc_id, lang, text, lower(text) AS low,
+                       regexp_extract_all(lower(text), '\S+') AS toks
+                FROM documents),
+            q AS (
+                SELECT *, len(toks) AS n,
+                       CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+                FROM f),
+            bench AS (
+                SELECT array_to_string(
+                           list_slice(regexp_extract_all(lower(text), '\S+'),
+                                      5, 17), ' ') AS ngram
+                FROM documents
+                WHERE doc_id % 97 = 3
+                  AND len(regexp_extract_all(lower(text), '\S+')) >= 17),
+            s4 AS (
+                SELECT * FROM q
+                WHERE lang = 'en' AND n >= 20 AND ttr >= 0.4
+                  AND NOT EXISTS (SELECT 1 FROM bench b
+                                  WHERE contains(q.low, b.ngram))),
+            dd AS (SELECT min(doc_id) AS keep_id FROM s4 GROUP BY md5(text))
+            SELECT CASE WHEN substr(md5(CAST(keep_id AS VARCHAR)), 1, 2) < 'e6'
+                        THEN 'train'
+                        WHEN substr(md5(CAST(keep_id AS VARCHAR)), 1, 2) < 'f3'
+                        THEN 'val' ELSE 'test' END AS split,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM dd GROUP BY 1
         """,
     },
     "incremental_new_docs": {

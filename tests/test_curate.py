@@ -52,3 +52,17 @@ class TestCurateJob:
         r1 = curate_job(SF_SMOKE, str(tmp_path / "a"))
         r2 = curate_job(SF_SMOKE, str(tmp_path / "b"))
         assert r1 == r2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReportMatchesCatalog:
+    def test_job_report_equals_curation_splits_query(self, tmp_path):
+        """curate_job's per-split counts must equal the oracle-verified
+        curation_splits catalog query — the sink job is tied to the
+        correctness gate through this equivalence."""
+        from ai_pdf_extraction_ray.pipelines.curate import curate_job
+        from ai_pdf_extraction_ray.pipelines.queries import q_curation_splits
+
+        report = curate_job(SF_SMOKE, str(tmp_path / "out"))
+        q = q_curation_splits(SF_SMOKE).to_pandas()
+        assert dict(zip(q["split"], q["n_docs"])) == report["per_split"]
