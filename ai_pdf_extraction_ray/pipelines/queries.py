@@ -894,6 +894,57 @@ def q_monthly_revenue_delta(sf_dir: str):  # noqa: ANN201 — DataFrame
     })
 
 
+def q_lineitem_corr(sf_dir: str) -> Dataset:
+    """Grouped Pearson correlation (the `stat.corr` primitive): r between
+    quantity and extended price per return flag. Six streaming moment sums
+    (n, Sx, Sy, Sxx, Syy, Sxy) reduce as per-batch partials; the final
+    formula runs on one row per group. The SQL oracle restates the SAME
+    moment formula (not DuckDB's built-in corr(), whose numerically-stable
+    algorithm differs in final ulps)."""
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x, y = b.column("l_quantity"), b.column("l_extendedprice")
+        t = pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "x": x, "y": y,
+            "xx": pc.multiply(x, x), "yy": pc.multiply(y, y),
+            "xy": pc.multiply(x, y),
+            "one": pa.array(np.ones(len(b), dtype=np.int64)),
+        })
+        return t.group_by("l_returnflag").aggregate(
+            [("x", "sum"), ("y", "sum"), ("xx", "sum"),
+             ("yy", "sum"), ("xy", "sum"), ("one", "sum")])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("x_sum", alias_name="sx"), Sum("y_sum", alias_name="sy"),
+                   Sum("xx_sum", alias_name="sxx"), Sum("yy_sum", alias_name="syy"),
+                   Sum("xy_sum", alias_name="sxy"), Sum("one_sum", alias_name="n"))
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = b.column("sx").to_numpy(zero_copy_only=False)
+        sy = b.column("sy").to_numpy(zero_copy_only=False)
+        sxx = b.column("sxx").to_numpy(zero_copy_only=False)
+        syy = b.column("syy").to_numpy(zero_copy_only=False)
+        sxy = b.column("sxy").to_numpy(zero_copy_only=False)
+        cov = sxy / n - (sx / n) * (sy / n)
+        vx = sxx / n - (sx / n) ** 2
+        vy = syy / n - (sy / n) ** 2
+        r = cov / np.sqrt(np.maximum(vx, 0.0) * np.maximum(vy, 0.0))
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "n": b.column("n").cast(pa.int64()),
+            "corr": pa.array(_np_round(r, 6), pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_value_zscore(sf_dir: str) -> Dataset:
     """Per-key z-score normalization (feature engineering): events value
     standardized within its event type. Two passes: per-key sum/sumsq/count
@@ -3145,6 +3196,25 @@ QUERIES: dict[str, dict] = {
             SELECT month, n_orders, revenue,
                    CAST(round((revenue - lag(revenue) OVER (ORDER BY month)) * 100)
                         AS BIGINT) / 100.0 AS delta
+            FROM m
+        """,
+    },
+    "lineitem_corr": {
+        "fn": q_lineitem_corr,
+        "sql": """
+            WITH m AS (
+                SELECT l_returnflag,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+                       sum(l_quantity * l_quantity) AS sxx,
+                       sum(l_extendedprice * l_extendedprice) AS syy,
+                       sum(l_quantity * l_extendedprice) AS sxy
+                FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   CAST(round(((sxy / n - (sx / n) * (sy / n))
+                        / sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0.0)
+                               * greatest(syy / n - (sy / n) * (sy / n), 0.0)))
+                        * 1000000) AS BIGINT) / 1000000.0 AS corr
             FROM m
         """,
     },

@@ -192,3 +192,22 @@ class TestUnigramLogprob:
         df = q_unigram_logprob(str(tmp_path)).to_pandas().set_index("doc_id")
         assert df.loc[8, "mean_logprob"] < df.loc[0, "mean_logprob"]
         assert (df["n_tokens"] > 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCorrelation:
+    def test_matches_numpy_corrcoef(self):
+        import pyarrow.parquet as pq
+        import numpy as np
+
+        from ai_pdf_extraction_ray.pipelines.queries import q_lineitem_corr
+
+        got = q_lineitem_corr(SF_SMOKE).to_pandas().set_index("l_returnflag")
+        t = pq.read_table(f"{SF_SMOKE}/lineitem.parquet",
+                          columns=["l_returnflag", "l_quantity",
+                                   "l_extendedprice"]).to_pandas()
+        for flag, g in t.groupby("l_returnflag"):
+            want = np.corrcoef(g["l_quantity"], g["l_extendedprice"])[0, 1]
+            assert got.loc[flag, "corr"] == pytest.approx(want, abs=1e-4)
+            assert got.loc[flag, "n"] == len(g)
+        assert (got["corr"].abs() <= 1.0).all()
