@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import shutil
 from pathlib import Path
 
 import numpy as np
@@ -109,8 +110,29 @@ def curate_job(sf_dir: str, out_dir: str) -> dict:
     # canonical id set is bounded by the KEPT corpus; broadcast as a numpy
     # id array (at 100 TB this would be the digest->keep_id table joined
     # instead — same output, one more shuffle)
-    keep_ids = canon.to_pandas()["keep_id"].to_numpy()
+    canon_df = canon.to_pandas()
+    # an all-rejected corpus aggregates to a COLUMN-LESS empty frame
+    keep_ids = (canon_df["keep_id"].to_numpy() if "keep_id" in canon_df
+                else np.array([], dtype=np.int64))
     keep_ref = ray.put(np.sort(keep_ids))
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    # rerun idempotence: write_parquet APPENDS part files into existing
+    # hive dirs, so a second run would double every partition (and stale
+    # files from a prior gate config would survive). The job's output is
+    # one logical partition set — wipe it before rewriting.
+    for stale in out.glob("split=*"):
+        shutil.rmtree(stale)
+    if len(keep_ids) == 0:
+        # gate rejected everything: np.clip(idx, 0, -1) below would index
+        # an empty array (advisor round-2 finding) — and write_parquet of a
+        # zero-row dataset writes no partition dirs; short-circuit with an
+        # honest empty report instead
+        n_input = rd.read_parquet(f"{sf_dir}/documents.parquet").count()
+        report = {"n_input": int(n_input), "n_kept": 0, "per_split": {}}
+        (out / "_REPORT.json").write_text(json.dumps(report, sort_keys=True))
+        return report
 
     def dedup(b: pa.Table) -> pa.Table:
         keep = ray.get(keep_ref)
@@ -120,8 +142,6 @@ def curate_job(sf_dir: str, out_dir: str) -> dict:
         return b.filter(pa.array(mask)).drop_columns(["digest"])
 
     final = _with_split(kept.map_batches(dedup, batch_format="pyarrow"))
-    out = Path(out_dir)
-    out.mkdir(parents=True, exist_ok=True)
     final.write_parquet(str(out), partition_cols=["split"])
 
     import pyarrow.dataset as pads

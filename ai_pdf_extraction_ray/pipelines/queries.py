@@ -1523,14 +1523,31 @@ def q_orders_lineitem_join(sf_dir: str) -> Dataset:
     )
 
 
-def _urgent_custkeys(sf_dir: str) -> Dataset:
+_EMPTY_SEMI_JOIN_TABLE = pa.table({
+    "c_custkey": pa.array([], pa.int64()),
+    "c_name": pa.array([], pa.string()),
+    "n_urgent": pa.array([], pa.int64()),
+})
+
+
+def _urgent_custkeys(sf_dir: str) -> tuple[Dataset | None, int]:
     """Distinct custkeys holding >=1 URGENT order, built distributed:
     filter at the read -> groupby count. The distinct-key set is produced
     by the shuffle (never collected on the driver), so the semi/anti join
     below stays a hash-partitioned Dataset.join at any scale. A bloom
     filter broadcast would be the cheaper variant when the key set is
-    known to fit worker memory; the join form has no such assumption."""
-    return (
+    known to fit worker memory; the join form has no such assumption.
+
+    Returns ``(guarded_ds, n)``: the aggregate output is counted and passed
+    through ``nonempty_blocks`` because groupby outputs can carry
+    schema-less empty blocks that crash a downstream ``Dataset.join``
+    (Ray 2.49 race — see stages/dedup.nonempty_blocks; advisor round-2
+    finding). ``(None, 0)`` when no urgent orders exist — callers early-
+    return rather than join an empty side. The parquet-read probe side
+    does NOT need the guard: read blocks always carry their schema."""
+    from ..stages.dedup import nonempty_blocks
+
+    agg = (
         rd.read_parquet(f"{sf_dir}/orders.parquet",
                         columns=["o_custkey"],
                         # predicate pushed into the parquet scan: only
@@ -1538,7 +1555,11 @@ def _urgent_custkeys(sf_dir: str) -> Dataset:
                         filter=pc.field("o_orderpriority") == "1-URGENT")
         .groupby("o_custkey")
         .aggregate(Count(alias_name="n_urgent"))
-    )
+    ).materialize()
+    n = agg.count()
+    if n == 0:
+        return None, 0
+    return nonempty_blocks(agg, n), n
 
 
 def q_customers_semi_join(sf_dir: str) -> Dataset:
@@ -1548,10 +1569,13 @@ def q_customers_semi_join(sf_dir: str) -> Dataset:
     (no row duplication because the key side is pre-aggregated)."""
     from ..stages.dedup import _join_partitions
 
+    urgent, n_urgent = _urgent_custkeys(sf_dir)
+    if n_urgent == 0:
+        return rd.from_arrow(_EMPTY_SEMI_JOIN_TABLE)
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_name", "c_mktsegment"])
     joined = cust.join(
-        _urgent_custkeys(sf_dir), join_type="inner",
+        urgent, join_type="inner",
         num_partitions=_join_partitions(),
         on=("c_custkey",), right_on=("o_custkey",),
     )
@@ -1578,9 +1602,11 @@ def q_customers_semi_join_bloom(sf_dir: str) -> Dataset:
     from ..functions.bloom import BloomFilter
     from ..stages.dedup import _join_partitions
 
-    # materialized: consumed twice (bitmap build + join input) — without
-    # this the orders scan + groupby shuffle would execute twice
-    urgent = _urgent_custkeys(sf_dir).materialize()
+    # _urgent_custkeys materializes + guards; consumed twice here (bitmap
+    # build + join input) — one execution of the orders scan + shuffle
+    urgent, n_urgent = _urgent_custkeys(sf_dir)
+    if n_urgent == 0:
+        return rd.from_arrow(_EMPTY_SEMI_JOIN_TABLE)
 
     def bitmap(b: pa.Table) -> pa.Table:
         bf = BloomFilter()
@@ -1625,8 +1651,11 @@ def q_customers_anti_join(sf_dir: str) -> Dataset:
 
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_name", "c_mktsegment"])
+    urgent, n_urgent = _urgent_custkeys(sf_dir)
+    if n_urgent == 0:
+        return cust  # nobody has an urgent order: every customer qualifies
     joined = cust.join(
-        _urgent_custkeys(sf_dir), join_type="left_outer",
+        urgent, join_type="left_outer",
         num_partitions=_join_partitions(),
         on=("c_custkey",), right_on=("o_custkey",),
     )
@@ -1749,25 +1778,28 @@ def q_events_pivot(sf_dir: str) -> Dataset:
         cols = {"user_id": batch.column("user_id")}
         for t in _PIVOT_EVENT_TYPES:
             cols[f"n_{t}"] = pc.cast(pc.equal(et, t), pa.int64())
+        # count(*) rides as its own partial so n_total matches the oracle
+        # even if an event_type outside the fixed pivot contract appears
+        # (advisor round-2 finding: summing the five pivot columns would
+        # silently undercount such rows)
+        cols["n_row"] = pa.array(np.ones(len(batch), dtype=np.int64))
         t2 = pa.table(cols)
         return t2.group_by("user_id").aggregate(
-            [(f"n_{t}", "sum") for t in _PIVOT_EVENT_TYPES])
+            [(f"n_{t}", "sum") for t in _PIVOT_EVENT_TYPES] + [("n_row", "sum")])
 
     agg = (
         ds.map_batches(indicators, batch_format="pyarrow")
         .groupby("user_id")
         .aggregate(*[Sum(f"n_{t}_sum", alias_name=f"n_{t}")
-                     for t in _PIVOT_EVENT_TYPES])
+                     for t in _PIVOT_EVENT_TYPES],
+                   Sum("n_row_sum", alias_name="n_total"))
     )
 
     def finalize(b: pa.Table) -> pa.Table:
         cols = {"user_id": b.column("user_id")}
-        total = None
         for t in _PIVOT_EVENT_TYPES:
-            c = b.column(f"n_{t}").cast(pa.int64())
-            cols[f"n_{t}"] = c
-            total = c if total is None else pc.add(total, c)
-        cols["n_total"] = total
+            cols[f"n_{t}"] = b.column(f"n_{t}").cast(pa.int64())
+        cols["n_total"] = b.column("n_total").cast(pa.int64())
         return pa.table(cols)
 
     return agg.map_batches(finalize, batch_format="pyarrow")

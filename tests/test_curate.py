@@ -53,6 +53,23 @@ class TestCurateJob:
         r2 = curate_job(SF_SMOKE, str(tmp_path / "b"))
         assert r1 == r2
 
+    def test_rerun_same_dir_is_idempotent(self, tmp_path):
+        """Re-running into the SAME output dir must replace, not append:
+        write_parquet appends part files into existing hive dirs, which
+        doubled every per_split count before the pre-write wipe."""
+        from ai_pdf_extraction_ray.pipelines.curate import curate_job
+
+        out = tmp_path / "same"
+        r1 = curate_job(SF_SMOKE, str(out))
+        r2 = curate_job(SF_SMOKE, str(out))
+        assert r1 == r2
+
+        import pyarrow.dataset as pads
+
+        written = pads.dataset(str(out), format="parquet",
+                               partitioning="hive").to_table()
+        assert len(written) == r1["n_kept"]
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestReportMatchesCatalog:
@@ -66,3 +83,27 @@ class TestReportMatchesCatalog:
         report = curate_job(SF_SMOKE, str(tmp_path / "out"))
         q = q_curation_splits(SF_SMOKE).to_pandas()
         assert dict(zip(q["split"], q["n_docs"])) == report["per_split"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmptyGate:
+    def test_all_rejected_yields_empty_report(self, tmp_path):
+        """A corpus the gate fully rejects must produce an honest empty
+        report, not an IndexError from indexing an empty keep-id array
+        (advisor round-2 finding)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ai_pdf_extraction_ray.pipelines.curate import curate_job
+
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "lang": pa.array(["fr", "de", "fr"]),   # KEEP_LANG is 'en'
+            "text": pa.array(["un deux trois"] * 3),
+        }), str(sf / "documents.parquet"))
+        out = tmp_path / "curated"
+        report = curate_job(str(sf), str(out))
+        assert report == {"n_input": 3, "n_kept": 0, "per_split": {}}
+        assert json.loads((out / "_REPORT.json").read_text()) == report

@@ -61,3 +61,38 @@ class TestJsonlSource:
         df = ds.to_pandas()
         assert len(df) == 5
         assert (df["n_words"] == 4).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDerivedIdDistinctness:
+    def _write(self, path, records):
+        with open(path, "w") as f:
+            for r in records:
+                f.write(json.dumps(r) + "\n")
+
+    def test_error_rows_get_distinct_ids(self, tmp_path):
+        """Missing-text rows must NOT collapse onto md5('') — metadata and
+        file path discriminate them (advisor round-2 finding)."""
+        from ai_pdf_extraction_ray.sources.jsonl import read_jsonl_corpus
+
+        p = tmp_path / "c.jsonl"
+        self._write(p, [{"lang": "en"}, {"lang": "fr"}, {"source": "x"}])
+        df = read_jsonl_corpus(str(p)).to_pandas()
+        assert (df["ingest_error"] == "empty_or_missing_text").all()
+        assert df["doc_id"].nunique() == 3
+
+    def test_identical_records_in_one_batch_get_distinct_ids(self, tmp_path):
+        from ai_pdf_extraction_ray.sources.jsonl import read_jsonl_corpus
+
+        p = tmp_path / "c.jsonl"
+        self._write(p, [{"text": "same text"}] * 4)
+        df = read_jsonl_corpus(str(p)).to_pandas()
+        assert df["doc_id"].nunique() == 4
+
+    def test_same_text_different_metadata_distinct(self, tmp_path):
+        from ai_pdf_extraction_ray.sources.jsonl import read_jsonl_corpus
+
+        p = tmp_path / "c.jsonl"
+        self._write(p, [{"text": "t", "lang": "en"}, {"text": "t", "lang": "fr"}])
+        df = read_jsonl_corpus(str(p)).to_pandas()
+        assert df["doc_id"].nunique() == 2
