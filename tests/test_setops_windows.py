@@ -52,16 +52,18 @@ class TestNtile:
 @pytest.mark.usefixtures("ray_session")
 class TestHashSample:
     def test_deterministic_and_in_rate_band(self):
-        import hashlib
+        import numpy as np
 
+        from ai_pdf_extraction_ray.functions.fasthash import hash64_ints
         from ai_pdf_extraction_ray.pipelines.queries import q_hash_sample
 
         a = sorted(q_hash_sample(SF_SMOKE).to_pandas()["doc_id"])
         b = sorted(q_hash_sample(SF_SMOKE).to_pandas()["doc_id"])
         assert a == b  # rerun-stable by construction
         # exact membership: the predicate depends only on the key
-        for i in a:
-            assert hashlib.md5(str(i).encode()).hexdigest()[:2] < "1a"
+        # (splitmix64 top byte < 26)
+        tops = hash64_ints(np.array(a, dtype=np.int64)) >> np.uint64(56)
+        assert (tops < 26).all()
         # 26/256 expected rate, generous band for 500 docs
         assert 0.03 < len(a) / 500 < 0.20
 
@@ -98,8 +100,9 @@ class TestZscoreProfile:
 @pytest.mark.usefixtures("ray_session")
 class TestDatasetSplit:
     def test_split_is_total_stable_and_consistent_with_sample(self):
-        import hashlib
+        import numpy as np
 
+        from ai_pdf_extraction_ray.functions.fasthash import hash64_ints
         from ai_pdf_extraction_ray.pipelines.queries import q_dataset_split
 
         df = q_dataset_split(SF_SMOKE).to_pandas()
@@ -107,8 +110,9 @@ class TestDatasetSplit:
         assert set(df["split"]) <= {"train", "val", "test"}
         counts = df["split"].value_counts()
         assert counts["train"] > counts.get("val", 0)  # ~90/5/5 shape
-        # exact membership rule
-        for i, s in zip(df["doc_id"], df["split"]):
-            h = hashlib.md5(str(i).encode()).hexdigest()[:2]
-            want = "train" if h < "e6" else "val" if h < "f3" else "test"
-            assert s == want
+        # exact membership rule (splitmix64 top byte: <230 train,
+        # <243 val, else test — shared with curate.assign_split_vec)
+        tops = hash64_ints(df["doc_id"].to_numpy()) >> np.uint64(56)
+        want = np.where(tops < 230, "train",
+                        np.where(tops < 243, "val", "test"))
+        assert (df["split"].to_numpy() == want).all()
