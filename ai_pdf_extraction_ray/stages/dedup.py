@@ -571,7 +571,9 @@ class HyperplaneHasher:
         self.planes: np.ndarray | None = None  # (tables, bits, dim), lazy
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raw = np.stack(batch.column("embedding").to_pylist())
+        from .similarity import emb_matrix
+
+        raw = emb_matrix(batch, dtype=np.float32)
         X = raw.astype(np.float64)
         X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         if self.planes is None:

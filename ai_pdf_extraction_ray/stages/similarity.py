@@ -36,8 +36,22 @@ def _normalize(x: np.ndarray) -> np.ndarray:
     return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
 
 
-def _emb_matrix(batch: pa.Table) -> np.ndarray:
-    return np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+def emb_matrix(source, dtype=np.float64, column: str = "embedding") -> np.ndarray:  # noqa: ANN001
+    """Decode a fixed-width ``list<float>`` column to a 2-D numpy matrix by
+    reshaping the list array's flat values buffer — no boxing of R*D Python
+    floats through ``to_pylist``/``np.stack``. The shared helper for every
+    embedding consumer (knn flat/multiquery, IVF assign, hyperplane LSH,
+    centroids). Accepts a ``pa.Table`` or the column itself."""
+    col = source.column(column) if isinstance(source, pa.Table) else source
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    return np.asarray(col.flatten(), dtype=dtype).reshape(n, -1)
+
+
+_emb_matrix = emb_matrix  # internal call sites predate the public name
 
 
 def knn_flat(
@@ -176,7 +190,7 @@ def _train_sample(sf_dir: str, sample_n: int) -> np.ndarray:
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
     keep = tbl.filter(pa.array(ids % stride == 0)).slice(0, sample_n)
-    return np.stack(keep.column("embedding").to_pylist()).astype(np.float64)
+    return emb_matrix(keep)
 
 
 def build_ivf_index(

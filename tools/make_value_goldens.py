@@ -34,6 +34,8 @@ GOLDEN_QUERIES = [
     "simhash_near_dups",
     "knn_ivf",
     "embedding_near_dups_lsh",
+    "export_csv_check",
+    "export_json_check",
 ]
 
 
