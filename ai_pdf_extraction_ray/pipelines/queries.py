@@ -2634,6 +2634,87 @@ def q_merge_chunked(sf_dir: str) -> Dataset:
     return merged.map_batches(project, batch_format="pyarrow")
 
 
+PASSAGE_WORDS = 20      # fixed-window passage size (paragraph proxy)
+_PASSAGE_SHIFT = 21     # rank = (doc_id << 21) | seg — caps 2^21 passages/doc
+
+
+def q_passage_dedup(sf_dir: str) -> Dataset:
+    """Paragraph-level exact dedup (the Dolma-style corpus-dedup signal),
+    one granularity below `exact_dedup`: text tokenizes to lower() ``\\S+``
+    words, fixed PASSAGE_WORDS-token windows stand in for paragraphs (the
+    synthetic corpus carries no paragraph breaks; with real ``\\n\\n``
+    boundaries only the splitter changes), and a passage seen anywhere
+    earlier in corpus order (doc_id, window index) is flagged. Per doc:
+    passage count, duplicated-passage count, duplicate fraction.
+
+    Scale shape: docs explode to (passage-digest, rank) rows — the shuffle
+    carries 16-byte digests, never text (exact_dedup's discipline);
+    groupby(digest) min-rank finds first occurrences; a hash join + per-doc
+    partial aggregate reduce to one row per doc. Rank packs (doc_id, seg)
+    into one int64 (doc_id < 2^42, passages/doc < 2^21 — 40M tokens/doc)."""
+    import hashlib as _hl
+
+    from ..stages.dedup import _join_partitions, nonempty_blocks
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        out_rank, out_dig = [], []
+        for d, t in zip(b.column("doc_id").to_pylist(),
+                        b.column("text").to_pylist()):
+            toks = _TOKEN_RE.findall((t or "").lower())
+            n_seg = max(1, -(-len(toks) // PASSAGE_WORDS))
+            for s in range(1, n_seg + 1):
+                seg_text = " ".join(
+                    toks[(s - 1) * PASSAGE_WORDS: s * PASSAGE_WORDS])
+                out_rank.append((d << _PASSAGE_SHIFT) | s)
+                out_dig.append(_hl.md5(seg_text.encode()).hexdigest())
+        return pa.table({"rank": pa.array(out_rank, pa.int64()),
+                         "digest": pa.array(out_dig, pa.string())})
+
+    seg = docs.map_batches(explode, batch_format="pyarrow").materialize()
+    n_seg_rows = seg.count()
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_passages": pa.array([], pa.int64()),
+                      "n_dup_passages": pa.array([], pa.int64()),
+                      "dup_frac": pa.array([], pa.float64())})
+    if n_seg_rows == 0:
+        return rd.from_arrow(empty)
+    winners = seg.groupby("digest").aggregate(
+        Min("rank", alias_name="first_rank")).materialize()
+    joined = nonempty_blocks(seg, n_seg_rows).join(
+        nonempty_blocks(winners, winners.count()), join_type="inner",
+        num_partitions=_join_partitions(), on=("digest",),
+    )
+
+    def per_doc_partial(b: pa.Table) -> pa.Table:
+        rank = b.column("rank").to_numpy(zero_copy_only=False)
+        first = b.column("first_rank").to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "doc_id": pa.array(rank >> _PASSAGE_SHIFT, pa.int64()),
+            "one": pa.array(np.ones(len(rank), dtype=np.int64)),
+            "dup": pa.array((rank != first).astype(np.int64)),
+        })
+        return t.group_by("doc_id").aggregate([("one", "sum"), ("dup", "sum")])
+
+    agg = (joined.map_batches(per_doc_partial, batch_format="pyarrow")
+           .groupby("doc_id")
+           .aggregate(Sum("one_sum", alias_name="n_passages"),
+                      Sum("dup_sum", alias_name="n_dup_passages")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n_passages").to_numpy(zero_copy_only=False).astype(np.float64)
+        d = b.column("n_dup_passages").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_passages": b.column("n_passages").cast(pa.int64()),
+            "n_dup_passages": b.column("n_dup_passages").cast(pa.int64()),
+            "dup_frac": pa.array(_np_round(d / n, 4), pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_export_csv_check(sf_dir: str) -> pd.DataFrame:
     """S8 CSV export under the driver gate: runs the REAL sink
     (exports.export_csv — header order, all-cells-quoted with doubled
@@ -3803,6 +3884,32 @@ QUERIES: dict[str, dict] = {
                                          CAST(b.embedding AS DOUBLE[])) > 0.3
         """,
     },
+    "passage_dedup": {
+        "fn": q_passage_dedup,
+        "sql": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')), '\S+') AS t
+              FROM documents
+            ), segs AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, greatest(1, CAST(ceil(len(t) / 20.0) AS BIGINT)))) AS s
+              FROM toks
+            ), pas AS (
+              SELECT doc_id,
+                     doc_id * 2097152 + s AS rnk,
+                     md5(array_to_string(t[(s-1)*20+1 : s*20], ' ')) AS digest
+              FROM segs
+            ), firsts AS (
+              SELECT digest, min(rnk) AS first_rank FROM pas GROUP BY digest
+            )
+            SELECT p.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_passages,
+                   CAST(count(*) FILTER (p.rnk <> f.first_rank) AS BIGINT) AS n_dup_passages,
+                   CAST(round((count(*) FILTER (p.rnk <> f.first_rank)) * 10000.0 / count(*)) AS BIGINT) / 10000.0 AS dup_frac
+            FROM pas p JOIN firsts f USING (digest)
+            GROUP BY p.doc_id
+        """,
+    },
 }
 
 # ---------------------------------------------------------------------------
@@ -3823,6 +3930,7 @@ _ROUND3_WINDOW_FIRST = [
     "contamination_flags", "vocab_bigrams", "customers_semi_join",
     "customers_semi_join_bloom", "customers_anti_join", "orders_rollup",
     "orders_cube", "unigram_logprob", "events_pivot", "embedding_dup_pairs",
+    "passage_dedup",
     # round-3 reworked veterans — re-gate the new implementations:
     "value_ntile", "revenue_by_nation", "quantiles", "minhash_near_dups",
     "simhash_near_dups", "near_dup_clusters", "embedding_near_dups_lsh",

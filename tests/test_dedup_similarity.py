@@ -472,3 +472,51 @@ class TestEmbeddingLsh:
         assert all(c >= 0.95 for c in out.cos)
         # random 16-d gaussians almost never reach cos 0.95: no FP blowup
         assert len(found) < 10
+
+
+class TestPassageDedup:
+    """q_passage_dedup: Dolma-style passage-level (fixed 20-token window)
+    exact dedup — first occurrence in (doc_id, window) order wins."""
+
+    def test_planted_passage_duplicates(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ai_pdf_extraction_ray.pipelines.queries import (
+            PASSAGE_WORDS,
+            q_passage_dedup,
+        )
+
+        w = [f"w{i}" for i in range(PASSAGE_WORDS)]
+        uniq = [f"u{i}" for i in range(PASSAGE_WORDS)]
+        texts = {
+            0: " ".join(w * 2),            # two identical passages in ONE doc
+            1: " ".join(w),                # repeats doc 0's passage
+            2: " ".join(uniq),             # unique
+            3: "",                         # empty -> 1 empty passage
+            4: "",                         # second empty doc dups doc 3
+        }
+        tbl = pa.table({
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)]),
+        })
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+        df = (q_passage_dedup(str(tmp_path)).to_pandas()
+              .set_index("doc_id").sort_index())
+        assert df.loc[0, "n_passages"] == 2
+        assert df.loc[0, "n_dup_passages"] == 1     # within-doc repeat
+        assert df.loc[1, "n_dup_passages"] == 1     # cross-doc repeat
+        assert df.loc[2, "n_dup_passages"] == 0
+        assert df.loc[3, "n_passages"] == 1 and df.loc[3, "n_dup_passages"] == 0
+        assert df.loc[4, "n_dup_passages"] == 1     # empty text dups empty text
+        assert df.loc[1, "dup_frac"] == 1.0
+        assert df.loc[0, "dup_frac"] == 0.5
+
+    def test_smoke_corpus_invariants(self, ray_session):
+        from ai_pdf_extraction_ray.pipelines.queries import q_passage_dedup
+
+        df = q_passage_dedup(SF).to_pandas()
+        assert len(df) == 500                       # one row per doc
+        assert (df.n_passages >= 1).all()
+        assert (df.n_dup_passages <= df.n_passages).all()
+        assert (df.n_dup_passages > 0).any()        # corpus has planted dups
