@@ -2715,6 +2715,94 @@ def q_passage_dedup(sf_dir: str) -> Dataset:
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+BLOCKED_HOSTS = ("h0.example.com", "h7.example.com", "h13.example.com")
+
+
+def _url_col(doc_ids) -> pa.Array:  # noqa: ANN001 — pa.Array|ChunkedArray
+    """Vectorized url synthesis from doc_id (corpus.url_for, batch form).
+    In production the url is a real column; the synthetic corpus derives it
+    so extraction oracles can restate it in SQL (_URL_SQL)."""
+    from ..sources.corpus import N_HOSTS
+
+    d = doc_ids.to_numpy(zero_copy_only=False).astype(np.int64)
+    host = np.where(d % 3 == 0, 0, d % N_HOSTS)
+    return pa.array(np.char.add(np.char.add(np.char.add(
+        "https://h", host.astype(np.str_)), ".example.com/p/"),
+        d.astype(np.str_)))
+
+
+def q_url_host_filter(sf_dir: str) -> Dataset:
+    """C4-style URL/domain filtering: parse the host out of each document's
+    url and drop documents whose host is on a blocklist (the classic
+    web-curation source filter). Returns the kept rows (doc_id, url, host).
+
+    Scale shape: one streaming map_batches pass — host extraction is a
+    vectorized Arrow regex over the url column, blocklist membership is
+    ``pc.is_in`` against a constant value set shipped once in the closure
+    (a real blocklist of millions of hosts would broadcast via ``ray.put``
+    and probe with searchsorted, the contamination_flags pattern). No
+    shuffle, no driver materialization."""
+    docs = _docs(sf_dir, ["doc_id"])
+    blocked = pa.array(list(BLOCKED_HOSTS))
+
+    def keep(b: pa.Table) -> pa.Table:
+        url = _url_col(b.column("doc_id"))
+        host = pc.replace_substring_regex(
+            url, pattern=r"^https://([^/]+)/.*$", replacement=r"\1")
+        mask = pc.invert(pc.is_in(host, value_set=blocked))
+        t = pa.table({"doc_id": b.column("doc_id"), "url": url, "host": host})
+        return t.filter(mask)
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+TOP_TERMS_K = 5
+
+
+def q_top_terms_per_lang(sf_dir: str) -> Dataset:
+    """Grouped top-k heavy terms: the TOP_TERMS_K most frequent tokens per
+    language (per-group heavy hitters — heavy_hitters is the global form).
+
+    Scale shape: per-batch Counter partials combine occurrences locally, so
+    the shuffle carries one row per distinct (lang, term) per batch; a
+    groupby sums partials; the final per-lang top-k runs as map_groups over
+    the AGGREGATED (lang, term, n) table — bounded by per-language vocab
+    (Heaps' law: ~1M terms at 100 TB), never by corpus size. Ties break on
+    (n DESC, term ASC) to match the SQL row_number ordering exactly."""
+    from collections import Counter
+
+    docs = _docs(sf_dir, ["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for lang, t in zip(b.column("lang").to_pylist(),
+                           b.column("text").to_pylist()):
+            toks = _TOKEN_RE.findall((t or "").lower())
+            c.update((lang, tok) for tok in toks)
+        langs, terms = zip(*c.keys()) if c else ((), ())
+        return pa.table({
+            "lang": pa.array(list(langs), pa.string()),
+            "term": pa.array(list(terms), pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        })
+
+    agg = (docs.map_batches(partial, batch_format="pyarrow")
+           .groupby(["lang", "term"])
+           .aggregate(Sum("n", alias_name="n")))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        # g is one language's aggregated vocab — bounded, see docstring
+        g = g.sort_values(["n", "term"], ascending=[False, True])
+        return g.head(TOP_TERMS_K)
+
+    out = agg.groupby("lang").map_groups(topk, batch_format="pandas")
+    return out.map_batches(
+        lambda b: pa.table({"lang": b.column("lang"),
+                            "term": b.column("term"),
+                            "n": b.column("n").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_export_csv_check(sf_dir: str) -> pd.DataFrame:
     """S8 CSV export under the driver gate: runs the REAL sink
     (exports.export_csv — header order, all-cells-quoted with doubled
@@ -3884,6 +3972,35 @@ QUERIES: dict[str, dict] = {
                                          CAST(b.embedding AS DOUBLE[])) > 0.3
         """,
     },
+    "url_host_filter": {
+        "fn": q_url_host_filter,
+        "sql": rf"""
+            WITH h AS (
+              SELECT doc_id, {_URL_SQL} AS url,
+                     regexp_replace({_URL_SQL}, '^https://([^/]+)/.*$', '\1') AS host
+              FROM documents
+            )
+            SELECT doc_id, url, host FROM h
+            WHERE host NOT IN ('h0.example.com', 'h7.example.com', 'h13.example.com')
+        """,
+    },
+    "top_terms_per_lang": {
+        "fn": q_top_terms_per_lang,
+        "sql": r"""
+            WITH tok AS (
+              SELECT lang, unnest(regexp_extract_all(lower(coalesce(text,'')), '\S+')) AS term
+              FROM documents
+            ), cnt AS (
+              SELECT lang, term, CAST(count(*) AS BIGINT) AS n
+              FROM tok GROUP BY lang, term
+            )
+            SELECT lang, term, n FROM (
+              SELECT lang, term, n,
+                     row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rn
+              FROM cnt) t
+            WHERE rn <= 5
+        """,
+    },
     "passage_dedup": {
         "fn": q_passage_dedup,
         "sql": r"""
@@ -3930,7 +4047,7 @@ _ROUND3_WINDOW_FIRST = [
     "contamination_flags", "vocab_bigrams", "customers_semi_join",
     "customers_semi_join_bloom", "customers_anti_join", "orders_rollup",
     "orders_cube", "unigram_logprob", "events_pivot", "embedding_dup_pairs",
-    "passage_dedup",
+    "passage_dedup", "url_host_filter", "top_terms_per_lang",
     # round-3 reworked veterans — re-gate the new implementations:
     "value_ntile", "revenue_by_nation", "quantiles", "minhash_near_dups",
     "simhash_near_dups", "near_dup_clusters", "embedding_near_dups_lsh",

@@ -133,3 +133,66 @@ class TestCurationFunnel:
         assert n[0] == len(t)
         assert n[1] == sum(1 for v in t.column("lang").to_pylist() if v == "en")
         assert n[4] >= 1
+
+
+class TestUrlHostFilter:
+    """C4-style domain blocklist filter over the synthesized url column."""
+
+    def test_blocked_hosts_dropped(self, ray_session):
+        from ai_pdf_extraction_ray.pipelines.queries import (
+            BLOCKED_HOSTS,
+            q_url_host_filter,
+        )
+        from ai_pdf_extraction_ray.sources.corpus import url_for
+
+        df = q_url_host_filter(SF_SMOKE).to_pandas()
+        assert not df.host.isin(BLOCKED_HOSTS).any()
+        # every multiple of 3 maps to the h0 skew host -> always blocked
+        assert not (df.doc_id % 3 == 0).any()
+        # kept rows carry the exact synthesized url
+        for _, r in df.head(5).iterrows():
+            assert r.url == url_for(int(r.doc_id))
+        # complement check: kept + blocked partition the corpus
+        blocked = {int(h[1:h.index(".")]) for h in BLOCKED_HOSTS}
+        expect = [d for d in range(500)
+                  if (0 if d % 3 == 0 else d % 41) not in blocked]
+        assert sorted(df.doc_id) == expect
+
+
+class TestTopTermsPerLang:
+    def test_grouped_topk(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ai_pdf_extraction_ray.pipelines.queries import (
+            q_top_terms_per_lang,
+        )
+
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "lang": pa.array(["en", "de"]),
+            "text": pa.array(["a a a B b c d e f g", "x x y"]),
+        })
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+        df = (q_top_terms_per_lang(str(tmp_path)).to_pandas()
+              .sort_values(["lang", "n", "term"],
+                           ascending=[True, False, True])
+              .reset_index(drop=True))
+        de = df[df.lang == "de"]
+        en = df[df.lang == "en"]
+        assert list(de.term) == ["x", "y"] and list(de.n) == [2, 1]
+        # lowercased: 'B' merges into 'b'; k=5 truncates, ties break by term
+        assert list(en.term) == ["a", "b", "c", "d", "e"]
+        assert list(en.n) == [3, 2, 1, 1, 1]
+
+    def test_smoke_invariants(self, ray_session):
+        from ai_pdf_extraction_ray.pipelines.queries import (
+            TOP_TERMS_K,
+            q_top_terms_per_lang,
+        )
+
+        df = q_top_terms_per_lang(SF_SMOKE).to_pandas()
+        assert (df.groupby("lang").size() == TOP_TERMS_K).all()
+        assert (df.groupby("lang").n.apply(
+            lambda s: (s.sort_values(ascending=False).values == s.values).all()
+            if len(s) else True).all())
