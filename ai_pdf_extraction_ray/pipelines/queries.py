@@ -2715,6 +2715,107 @@ def q_passage_dedup(sf_dir: str) -> Dataset:
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+DUP_WIN_WORDS = 20     # rolling-window width (tokens)
+DUP_WIN_STRIDE = 5     # window stride — overlap localizes spans to ±stride
+
+
+def q_dup_spans(sf_dir: str) -> Dataset:
+    """Span-level duplicate localization (the substring-dedup signal of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better": excise the repeated substring, not the whole document):
+    overlapping DUP_WIN_WORDS-token windows at DUP_WIN_STRIDE hash the
+    corpus; a window seen anywhere earlier in corpus order is a duplicate;
+    per doc, overlapping duplicate windows merge into maximal token spans
+    (doc_id, span_start, span_end) — the intervals an excision pass would
+    cut. Also the catalog's gaps-and-islands/interval-merge primitive.
+
+    Scale shape: windows shuffle as 16-byte digests + packed int64 ranks
+    (never text); the digest groupby carries a count, so only digests with
+    n >= 2 — the duplicated population, orders of magnitude below the
+    corpus — enter the hash join; the interval merge runs per doc over
+    that doc's duplicate windows only (<= tokens/stride rows)."""
+    import hashlib as _hl
+
+    from ..stages.dedup import _join_partitions, nonempty_blocks
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    W, S = DUP_WIN_WORDS, DUP_WIN_STRIDE
+
+    def explode(b: pa.Table) -> pa.Table:
+        out_rank, out_dig, out_e = [], [], []
+        for d, t in zip(b.column("doc_id").to_pylist(),
+                        b.column("text").to_pylist()):
+            toks = _TOKEN_RE.findall((t or "").lower())
+            n = len(toks)
+            n_win = max(1, -(-(n - (W - 1)) // S))
+            for w in range(1, n_win + 1):
+                s = (w - 1) * S
+                out_rank.append((d << _PASSAGE_SHIFT) | w)
+                out_dig.append(_hl.md5(
+                    " ".join(toks[s:s + W]).encode()).hexdigest())
+                out_e.append(min(s + W, n))
+        return pa.table({"rank": pa.array(out_rank, pa.int64()),
+                         "digest": pa.array(out_dig, pa.string()),
+                         "e": pa.array(out_e, pa.int64())})
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "span_start": pa.array([], pa.int64()),
+                      "span_end": pa.array([], pa.int64())})
+    wins = docs.map_batches(explode, batch_format="pyarrow").materialize()
+    n_wins = wins.count()
+    if n_wins == 0:
+        return rd.from_arrow(empty)
+    # only digests seen >= 2 times can produce a duplicate span: the join's
+    # build side shrinks to the duplicated population before any row moves
+    hot = (wins.groupby("digest")
+           .aggregate(Min("rank", alias_name="first_rank"),
+                      Count(alias_name="n_occ"))
+           .filter(expr="n_occ >= 2")
+           .drop_columns(["n_occ"])
+           .materialize())
+    n_hot = hot.count()
+    if n_hot == 0:
+        return rd.from_arrow(empty)
+    joined = nonempty_blocks(wins, n_wins).join(
+        nonempty_blocks(hot, n_hot), join_type="inner",
+        num_partitions=_join_partitions(), on=("digest",),
+    )
+
+    def dup_rows(b: pa.Table) -> pa.Table:
+        rank = b.column("rank").to_numpy(zero_copy_only=False)
+        first = b.column("first_rank").to_numpy(zero_copy_only=False)
+        e = b.column("e").to_numpy(zero_copy_only=False)
+        s = ((rank & ((1 << _PASSAGE_SHIFT) - 1)) - 1) * S
+        keep = (rank != first) & (e > s)
+        return pa.table({
+            "doc_id": pa.array((rank >> _PASSAGE_SHIFT)[keep], pa.int64()),
+            "s": pa.array(s[keep], pa.int64()),
+            "e": pa.array(e[keep], pa.int64()),
+        })
+
+    dups = joined.map_batches(dup_rows, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        # one doc's duplicate windows — bounded by tokens/stride
+        g = g.sort_values(["s", "e"])
+        starts, ends = [], []
+        for s, e in zip(g["s"], g["e"]):
+            if ends and s <= ends[-1]:
+                ends[-1] = max(ends[-1], e)
+            else:
+                starts.append(s)
+                ends.append(e)
+        return pd.DataFrame({"doc_id": g["doc_id"].iloc[0],
+                             "span_start": starts, "span_end": ends})
+
+    out = dups.groupby("doc_id").map_groups(merge, batch_format="pandas")
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id").cast(pa.int64()),
+                            "span_start": b.column("span_start").cast(pa.int64()),
+                            "span_end": b.column("span_end").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 BLOCKED_HOSTS = ("h0.example.com", "h7.example.com", "h13.example.com")
 
 
@@ -3972,6 +4073,45 @@ QUERIES: dict[str, dict] = {
                                          CAST(b.embedding AS DOUBLE[])) > 0.3
         """,
     },
+    "dup_spans": {
+        "fn": q_dup_spans,
+        "sql": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')), '\S+') AS t
+              FROM documents
+            ), wins AS (
+              SELECT doc_id, t, len(t) AS n,
+                     unnest(generate_series(1, greatest(1, CAST(ceil((len(t) - 19) / 5.0) AS BIGINT)))) AS w
+              FROM toks
+            ), pas AS (
+              SELECT doc_id, n, w,
+                     doc_id * 2097152 + w AS rnk,
+                     md5(array_to_string(t[(w-1)*5+1 : (w-1)*5+20], ' ')) AS digest
+              FROM wins
+            ), firsts AS (
+              SELECT digest, min(rnk) AS first_rank FROM pas GROUP BY digest
+            ), dups AS (
+              SELECT p.doc_id, (p.w - 1) * 5 AS s,
+                     least((p.w - 1) * 5 + 20, p.n) AS e
+              FROM pas p JOIN firsts f USING (digest)
+              WHERE p.rnk <> f.first_rank
+                AND least((p.w - 1) * 5 + 20, p.n) > (p.w - 1) * 5
+            ), ord AS (
+              SELECT doc_id, s, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+              FROM dups
+            ), isl AS (
+              SELECT doc_id, s, e,
+                     sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+              FROM ord
+            )
+            SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+                   CAST(max(e) AS BIGINT) AS span_end
+            FROM isl GROUP BY doc_id, island
+        """,
+    },
     "url_host_filter": {
         "fn": q_url_host_filter,
         "sql": rf"""
@@ -4047,7 +4187,7 @@ _ROUND3_WINDOW_FIRST = [
     "contamination_flags", "vocab_bigrams", "customers_semi_join",
     "customers_semi_join_bloom", "customers_anti_join", "orders_rollup",
     "orders_cube", "unigram_logprob", "events_pivot", "embedding_dup_pairs",
-    "passage_dedup", "url_host_filter", "top_terms_per_lang",
+    "passage_dedup", "url_host_filter", "top_terms_per_lang", "dup_spans",
     # round-3 reworked veterans — re-gate the new implementations:
     "value_ntile", "revenue_by_nation", "quantiles", "minhash_near_dups",
     "simhash_near_dups", "near_dup_clusters", "embedding_near_dups_lsh",

@@ -520,3 +520,36 @@ class TestPassageDedup:
         assert (df.n_passages >= 1).all()
         assert (df.n_dup_passages <= df.n_passages).all()
         assert (df.n_dup_passages > 0).any()        # corpus has planted dups
+
+
+class TestDupSpans:
+    """q_dup_spans: substring-level duplicate localization — overlapping
+    20-token windows at stride 5, merged into maximal per-doc spans."""
+
+    def test_planted_copied_run(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ai_pdf_extraction_ray.pipelines.queries import q_dup_spans
+
+        u = [f"u{i}" for i in range(60)]
+        v = [f"v{i}" for i in range(20)]
+        texts = {
+            0: " ".join(u),                                  # source doc
+            1: " ".join(v[:10] + u[10:45] + v[10:15]),       # copies u10..u44
+            2: " ".join(u),                                  # full copy of 0
+            3: " ".join(f"w{i}" for i in range(40)),         # unique
+        }
+        tbl = pa.table({
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)]),
+        })
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+        df = (q_dup_spans(str(tmp_path)).to_pandas()
+              .sort_values(["doc_id", "span_start"]).reset_index(drop=True))
+        got = {(int(r.doc_id), int(r.span_start), int(r.span_end))
+               for _, r in df.iterrows()}
+        # doc 1: dup windows start at 10,15,20,25 (each fully inside the
+        # copied u10..u44 run) -> one merged span [10, 45)
+        # doc 2: every window duplicates doc 0 -> one span [0, 60)
+        assert got == {(1, 10, 45), (2, 0, 60)}
