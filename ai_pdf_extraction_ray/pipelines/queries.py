@@ -2816,6 +2816,66 @@ def q_dup_spans(sf_dir: str) -> Dataset:
         batch_format="pyarrow")
 
 
+def q_dedup_excise(sf_dir: str) -> Dataset:
+    """Substring-dedup excision (the second half of Lee et al. 2022):
+    cut every duplicate span q_dup_spans localized and re-emit the
+    affected documents as (doc_id, clean_text, n_removed) — clean_text is
+    the lowercase token stream with duplicated spans removed (tokenization
+    is the dedup normalization; untouched docs are not re-emitted).
+
+    Scale shape: the span doc_id set (bounded by the duplicated
+    population, the same bound near_dup_clusters' pair set accepts) is
+    broadcast once via ``ray.put`` and the corpus is FILTERED by a
+    vectorized searchsorted membership probe BEFORE the join, so the
+    doc⋈span hash shuffle moves only duplicate documents, never the
+    corpus. Per-doc excision runs in map_groups over one doc's few span
+    rows."""
+    from ..stages.dedup import _join_partitions, nonempty_blocks
+
+    spans = q_dup_spans(sf_dir).materialize()
+    n_sp = spans.count()
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "clean_text": pa.array([], pa.string()),
+                      "n_removed": pa.array([], pa.int64())})
+    if n_sp == 0:
+        return rd.from_arrow(empty)
+    dup_ids = np.sort(np.unique(
+        spans.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy()))
+    ids_ref = ray.put(dup_ids)
+
+    def member(b: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(ids, d), 0, len(ids) - 1)
+        return b.filter(pa.array(ids[idx] == d))
+
+    docs = (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(member, batch_format="pyarrow").materialize())
+    joined = nonempty_blocks(spans, n_sp).join(
+        nonempty_blocks(docs, docs.count()), join_type="inner",
+        num_partitions=_join_partitions(), on=("doc_id",),
+    )
+
+    def excise(g: pd.DataFrame) -> pd.DataFrame:
+        # one duplicate doc's span rows — a handful per doc
+        toks = _TOKEN_RE.findall((g["text"].iloc[0] or "").lower())
+        mask = np.zeros(len(toks), dtype=bool)
+        for s, e in zip(g["span_start"], g["span_end"]):
+            mask[int(s):int(e)] = True
+        return pd.DataFrame({
+            "doc_id": [int(g["doc_id"].iloc[0])],
+            "clean_text": [" ".join(t for t, m in zip(toks, mask) if not m)],
+            "n_removed": [int(mask.sum())],
+        })
+
+    out = joined.groupby("doc_id").map_groups(excise, batch_format="pandas")
+    return out.map_batches(lambda b: pa.table({
+        "doc_id": b.column("doc_id").cast(pa.int64()),
+        "clean_text": b.column("clean_text").cast(pa.string()),
+        "n_removed": b.column("n_removed").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 BLOCKED_HOSTS = ("h0.example.com", "h7.example.com", "h13.example.com")
 
 
@@ -2853,6 +2913,44 @@ def q_url_host_filter(sf_dir: str) -> Dataset:
         mask = pc.invert(pc.is_in(host, value_set=blocked))
         t = pa.table({"doc_id": b.column("doc_id"), "url": url, "host": host})
         return t.filter(mask)
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+# data-mixing weights: keep-probability numerators out of 256, by host.
+# h0 is the corpus's deliberate skew host (1/3 of all docs) — downsample it
+# to 25%; unlisted hosts keep everything.
+MIX_WEIGHTS = {"h0.example.com": 64}
+
+
+def q_domain_weighted_sample(sf_dir: str) -> Dataset:
+    """Domain-weighted sampling (data mixing): rebalance source domains by
+    keeping each document with a per-host probability — here the skew host
+    h0 (1/3 of the corpus by construction) is downsampled to 25% and every
+    other host kept whole. The keep decision is splitmix64(doc_id)'s top
+    byte against the host's threshold: deterministic, rerun-stable and
+    partitioning-independent (the hash_sample contract), so resumed or
+    partial runs mix identically.
+
+    Scale shape: one streaming pass — vectorized host parse, vectorized
+    key hash, threshold lookup over a constant weight table (a large mix
+    table would broadcast once via ``ray.put``). No shuffle."""
+    from ..functions.fasthash import hash64_ints
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        url = _url_col(b.column("doc_id"))
+        host = pc.replace_substring_regex(
+            url, pattern=r"^https://([^/]+)/.*$", replacement=r"\1")
+        hs = host.to_numpy(zero_copy_only=False)
+        thresh = np.full(len(hs), 256, dtype=np.uint64)
+        for hh, w in MIX_WEIGHTS.items():
+            thresh[hs == hh] = w
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        top = hash64_ints(d) >> np.uint64(56)
+        t = pa.table({"doc_id": b.column("doc_id"), "host": host})
+        return t.filter(pa.array(top < thresh))
 
     return docs.map_batches(keep, batch_format="pyarrow")
 
@@ -3038,6 +3136,45 @@ _EN_STOPS_SQL = "', '".join(sorted(
 # tools/make_value_goldens.py) then makes ANY value drift visible to the
 # driver's hash comparison — closing the round-1 "no_oracle" gap.
 from .goldens import GOLDEN_SQL  # noqa: E402
+
+# shared CTE chain for dup_spans / dedup_excise: windows -> duplicate
+# windows (first corpus-order occurrence wins) -> per-doc merged spans
+# (gaps-and-islands). Mirrors q_dup_spans exactly: W=20, S=5, rank packing
+# doc_id * 2^21 + w.
+_DUP_SPANS_CTE = r"""toks AS (
+              SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')), '\S+') AS t
+              FROM documents
+            ), wins AS (
+              SELECT doc_id, t, len(t) AS n,
+                     unnest(generate_series(1, greatest(1, CAST(ceil((len(t) - 19) / 5.0) AS BIGINT)))) AS w
+              FROM toks
+            ), pas AS (
+              SELECT doc_id, n, w,
+                     doc_id * 2097152 + w AS rnk,
+                     md5(array_to_string(t[(w-1)*5+1 : (w-1)*5+20], ' ')) AS digest
+              FROM wins
+            ), firsts AS (
+              SELECT digest, min(rnk) AS first_rank FROM pas GROUP BY digest
+            ), dups AS (
+              SELECT p.doc_id, (p.w - 1) * 5 AS s,
+                     least((p.w - 1) * 5 + 20, p.n) AS e
+              FROM pas p JOIN firsts f USING (digest)
+              WHERE p.rnk <> f.first_rank
+                AND least((p.w - 1) * 5 + 20, p.n) > (p.w - 1) * 5
+            ), ord AS (
+              SELECT doc_id, s, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+              FROM dups
+            ), isl AS (
+              SELECT doc_id, s, e,
+                     sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+              FROM ord
+            ), spans AS (
+              SELECT doc_id, min(s) AS span_start, max(e) AS span_end
+              FROM isl GROUP BY doc_id, island
+            )"""
 
 QUERIES: dict[str, dict] = {
     "extract_text": {
@@ -4075,41 +4212,42 @@ QUERIES: dict[str, dict] = {
     },
     "dup_spans": {
         "fn": q_dup_spans,
-        "sql": r"""
-            WITH toks AS (
-              SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')), '\S+') AS t
-              FROM documents
-            ), wins AS (
-              SELECT doc_id, t, len(t) AS n,
-                     unnest(generate_series(1, greatest(1, CAST(ceil((len(t) - 19) / 5.0) AS BIGINT)))) AS w
-              FROM toks
-            ), pas AS (
-              SELECT doc_id, n, w,
-                     doc_id * 2097152 + w AS rnk,
-                     md5(array_to_string(t[(w-1)*5+1 : (w-1)*5+20], ' ')) AS digest
-              FROM wins
-            ), firsts AS (
-              SELECT digest, min(rnk) AS first_rank FROM pas GROUP BY digest
-            ), dups AS (
-              SELECT p.doc_id, (p.w - 1) * 5 AS s,
-                     least((p.w - 1) * 5 + 20, p.n) AS e
-              FROM pas p JOIN firsts f USING (digest)
-              WHERE p.rnk <> f.first_rank
-                AND least((p.w - 1) * 5 + 20, p.n) > (p.w - 1) * 5
-            ), ord AS (
-              SELECT doc_id, s, e,
-                     max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
-              FROM dups
-            ), isl AS (
-              SELECT doc_id, s, e,
-                     sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY doc_id ORDER BY s, e) AS island
-              FROM ord
+        "sql": f"""
+            WITH {_DUP_SPANS_CTE}
+            SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+                   CAST(span_end AS BIGINT) AS span_end
+            FROM spans
+        """,
+    },
+    "dedup_excise": {
+        "fn": q_dedup_excise,
+        "sql": f"""
+            WITH {_DUP_SPANS_CTE}, pos AS (
+              SELECT tk.doc_id, tk.t, unnest(generate_series(1, len(tk.t))) AS p
+              FROM toks tk WHERE tk.doc_id IN (SELECT doc_id FROM spans)
+            ), flags AS (
+              SELECT p.doc_id, p.p, p.t[p.p] AS tok,
+                     NOT EXISTS (SELECT 1 FROM spans e WHERE e.doc_id = p.doc_id
+                                 AND p.p - 1 >= e.span_start AND p.p - 1 < e.span_end) AS keep
+              FROM pos p
             )
-            SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
-                   CAST(max(e) AS BIGINT) AS span_end
-            FROM isl GROUP BY doc_id, island
+            SELECT doc_id,
+                   coalesce(string_agg(tok, ' ' ORDER BY p) FILTER (keep), '') AS clean_text,
+                   CAST(count(*) FILTER (NOT keep) AS BIGINT) AS n_removed
+            FROM flags GROUP BY doc_id
+        """,
+    },
+    "domain_weighted_sample": {
+        "fn": q_domain_weighted_sample,
+        "sql": rf"""
+            WITH h AS (
+              SELECT doc_id,
+                     regexp_replace({_URL_SQL}, '^https://([^/]+)/.*$', '\1') AS host
+              FROM documents
+            )
+            SELECT doc_id, host FROM h
+            WHERE ({_splitmix_hv_sql("doc_id")}) >> 56
+                  < (CASE WHEN host = 'h0.example.com' THEN 64 ELSE 256 END)
         """,
     },
     "url_host_filter": {
@@ -4188,6 +4326,7 @@ _ROUND3_WINDOW_FIRST = [
     "customers_semi_join_bloom", "customers_anti_join", "orders_rollup",
     "orders_cube", "unigram_logprob", "events_pivot", "embedding_dup_pairs",
     "passage_dedup", "url_host_filter", "top_terms_per_lang", "dup_spans",
+    "dedup_excise", "domain_weighted_sample",
     # round-3 reworked veterans — re-gate the new implementations:
     "value_ntile", "revenue_by_nation", "quantiles", "minhash_near_dups",
     "simhash_near_dups", "near_dup_clusters", "embedding_near_dups_lsh",

@@ -553,3 +553,33 @@ class TestDupSpans:
         # copied u10..u44 run) -> one merged span [10, 45)
         # doc 2: every window duplicates doc 0 -> one span [0, 60)
         assert got == {(1, 10, 45), (2, 0, 60)}
+
+    def test_excision_cuts_planted_spans(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ai_pdf_extraction_ray.pipelines.queries import q_dedup_excise
+
+        u = [f"u{i}" for i in range(60)]
+        v = [f"v{i}" for i in range(20)]
+        texts = {
+            0: " ".join(u),
+            1: " ".join(v[:10] + u[10:45] + v[10:15]),
+            2: " ".join(u),
+            3: " ".join(f"w{i}" for i in range(40)),
+        }
+        tbl = pa.table({
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)]),
+        })
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+        df = (q_dedup_excise(str(tmp_path)).to_pandas()
+              .set_index("doc_id").sort_index())
+        # only the two duplicate docs are re-emitted
+        assert list(df.index) == [1, 2]
+        # doc 1: span [10,45) cut -> v0..v9 ++ v10..v14 survive
+        assert df.loc[1, "clean_text"] == " ".join(v[:10] + v[10:15])
+        assert df.loc[1, "n_removed"] == 35
+        # doc 2: fully duplicated -> everything excised
+        assert df.loc[2, "clean_text"] == ""
+        assert df.loc[2, "n_removed"] == 60

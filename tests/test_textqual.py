@@ -196,3 +196,22 @@ class TestTopTermsPerLang:
         assert (df.groupby("lang").n.apply(
             lambda s: (s.sort_values(ascending=False).values == s.values).all()
             if len(s) else True).all())
+
+
+class TestDomainWeightedSample:
+    def test_mix_rebalances_skew_host(self, ray_session):
+        from ai_pdf_extraction_ray.pipelines.queries import (
+            q_domain_weighted_sample,
+        )
+
+        df = q_domain_weighted_sample(SF_SMOKE).to_pandas()
+        h0 = df[df.host == "h0.example.com"]
+        rest = df[df.host != "h0.example.com"]
+        # skew host is 1/3 of 500 docs (~167); 25% keep -> ~42, binomial
+        # 99.9% bounds ~[20, 70]; other hosts kept whole (333 exactly)
+        assert 20 <= len(h0) <= 70
+        assert len(rest) == sum(1 for d in range(500) if d % 3 != 0
+                                and d % 41 != 0)
+        # determinism: second run identical
+        df2 = q_domain_weighted_sample(SF_SMOKE).to_pandas()
+        assert sorted(df.doc_id) == sorted(df2.doc_id)
