@@ -293,13 +293,16 @@ def q_revenue_by_nation(sf_dir: str) -> Dataset:
 
     def nation_partial(b: pa.Table) -> pa.Table:
         nk = b.column("c_nationkey").to_numpy(zero_copy_only=False)
-        # vectorized 25-key lookup (searchsorted, not a per-row dict .get)
-        names = nation_names[np.clip(
-            np.searchsorted(nation_keys, nk), 0, len(nation_keys) - 1)]
+        # vectorized 25-key lookup (searchsorted, not a per-row dict .get);
+        # the equality mask drops nationkeys absent from nation — the inner
+        # join's semantics — instead of clipping them onto the last nation
+        idx = np.clip(np.searchsorted(nation_keys, nk),
+                      0, len(nation_keys) - 1)
+        valid = nation_keys[idx] == nk
         t = pa.table({
-            "n_name": pa.array(names, pa.string()),
-            "rev_raw": b.column("rev_raw"),
-            "n_orders": b.column("n_orders"),
+            "n_name": pa.array(nation_names[idx[valid]], pa.string()),
+            "rev_raw": b.column("rev_raw").filter(pa.array(valid)),
+            "n_orders": b.column("n_orders").filter(pa.array(valid)),
         })
         return t.group_by("n_name").aggregate([("rev_raw", "sum"),
                                                ("n_orders", "sum")])
@@ -681,23 +684,13 @@ def q_users_intersect(sf_dir: str) -> Dataset:
 NTILE_VALUE_RANGES = 256   # equal-width value bins per distributed rank
 
 
-def q_value_ntile(sf_dir: str) -> Dataset:
-    """ntile(4) window: per event type, quartile bucket of each event by
-    value (DuckDB-exact sizes: first n%4 buckets get the extra row).
-
-    Distributed rank via the `sequence_packing` offset-table pattern — the
-    round-2 version pulled every row of one event type into a single
-    pandas frame (corpus/|types| rows in one worker at scale; judge
-    finding). Here the global (value, event_id) order decomposes as
-    (value_bin, in-bin order): per-(type, bin) counts reduce to a tiny
-    offset table (|types| x NTILE_VALUE_RANGES rows) that is prefix-summed
-    on the driver and broadcast once; each (type, bin) group then sorts
-    locally and adds its offset — rank + ntile arithmetic, no whole-type
-    materialization. Bins are equal-width over the observed value span;
-    at 100 TB swap in histogram-sketch boundaries (stages/sketches.py) if
-    value skew makes equal-width bins lumpy — the offset algebra is
-    unchanged."""
-    ds = _events(sf_dir, ["event_id", "event_type", "value"]).materialize()
+def _binned_counts(ds: Dataset) -> tuple[Dataset, pd.DataFrame]:
+    """Shared decomposition behind q_value_ntile (distributed rank) and
+    q_quantiles (distributed selection): equal-width value binning over
+    the observed span plus the bounded per-(event_type, bin) count table.
+    ``ds`` must be materialized and non-empty. Returns (binned dataset,
+    count table sorted by (event_type, bin) — |types| x NTILE_VALUE_RANGES
+    rows at most, safe to hold on the driver)."""
     mm = ds.aggregate(Min("value"), Max("value"))
     lo, hi = mm["min(value)"], mm["max(value)"]
     width = ((hi - lo) / NTILE_VALUE_RANGES) or 1.0
@@ -720,7 +713,32 @@ def q_value_ntile(sf_dir: str) -> Dataset:
               .groupby(["event_type", "bin"])
               .aggregate(Sum("one_sum", alias_name="c"))
               ).to_pandas()  # bounded: |types| x NTILE_VALUE_RANGES rows
-    totals = totals.sort_values(["event_type", "bin"])
+    return bds, totals.sort_values(["event_type", "bin"])
+
+
+def q_value_ntile(sf_dir: str) -> Dataset:
+    """ntile(4) window: per event type, quartile bucket of each event by
+    value (DuckDB-exact sizes: first n%4 buckets get the extra row).
+
+    Distributed rank via the `sequence_packing` offset-table pattern — the
+    round-2 version pulled every row of one event type into a single
+    pandas frame (corpus/|types| rows in one worker at scale; judge
+    finding). Here the global (value, event_id) order decomposes as
+    (value_bin, in-bin order): per-(type, bin) counts reduce to a tiny
+    offset table (|types| x NTILE_VALUE_RANGES rows) that is prefix-summed
+    on the driver and broadcast once; each (type, bin) group then sorts
+    locally and adds its offset — rank + ntile arithmetic, no whole-type
+    materialization. Bins are equal-width over the observed value span;
+    at 100 TB swap in histogram-sketch boundaries (stages/sketches.py) if
+    value skew makes equal-width bins lumpy — the offset algebra is
+    unchanged."""
+    ds = _events(sf_dir, ["event_id", "event_type", "value"]).materialize()
+    if ds.count() == 0:  # Dataset.aggregate returns None on empty input
+        return rd.from_arrow(pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "quartile": pa.array([], pa.int64())}))
+    bds, totals = _binned_counts(ds)
     grp = totals.groupby("event_type")["c"]
     totals["offset"] = grp.cumsum() - totals["c"]
     n_by_type = grp.sum().to_dict()
@@ -2392,29 +2410,7 @@ def q_quantiles(sf_dir: str) -> Dataset:
     ds = _events(sf_dir, ["event_type", "value"]).materialize()
     if ds.count() == 0:
         return empty
-    mm = ds.aggregate(Min("value"), Max("value"))
-    lo, hi = mm["min(value)"], mm["max(value)"]
-    width = ((hi - lo) / NTILE_VALUE_RANGES) or 1.0
-
-    def binned(b: pa.Table) -> pa.Table:
-        v = b.column("value").to_numpy(zero_copy_only=False)
-        bins = np.clip(((v - lo) / width).astype(np.int64),
-                       0, NTILE_VALUE_RANGES - 1)
-        return b.append_column("bin", pa.array(bins, pa.int64()))
-
-    bds = ds.map_batches(binned, batch_format="pyarrow").materialize()
-
-    def bin_partial(b: pa.Table) -> pa.Table:
-        t = pa.table({"event_type": b.column("event_type"),
-                      "bin": b.column("bin"),
-                      "one": pa.array(np.ones(b.num_rows, dtype=np.int64))})
-        return t.group_by(["event_type", "bin"]).aggregate([("one", "sum")])
-
-    totals = (bds.map_batches(bin_partial, batch_format="pyarrow")
-              .groupby(["event_type", "bin"])
-              .aggregate(Sum("one_sum", alias_name="c"))
-              ).to_pandas()  # bounded: |types| x NTILE_VALUE_RANGES rows
-    totals = totals.sort_values(["event_type", "bin"])
+    bds, totals = _binned_counts(ds)
     # driver pass over the COUNT table only: locate, per (type, p), the bin
     # holding rank ceil(p*n) and its 0-based index within that sorted bin
     ps = (("p50", 0.50), ("p90", 0.90), ("p99", 0.99))
@@ -2668,9 +2664,11 @@ def q_passage_dedup(sf_dir: str) -> Dataset:
                 seg_text = " ".join(
                     toks[(s - 1) * PASSAGE_WORDS: s * PASSAGE_WORDS])
                 out_rank.append((d << _PASSAGE_SHIFT) | s)
-                out_dig.append(_hl.md5(seg_text.encode()).hexdigest())
+                out_dig.append(_hl.md5(seg_text.encode()).digest())
+        # 16-byte binary digests, not 32-char hex: halves the shuffle key
+        # payload; the digest never reaches the output on either side
         return pa.table({"rank": pa.array(out_rank, pa.int64()),
-                         "digest": pa.array(out_dig, pa.string())})
+                         "digest": pa.array(out_dig, pa.binary())})
 
     seg = docs.map_batches(explode, batch_format="pyarrow").materialize()
     n_seg_rows = seg.count()
@@ -2752,10 +2750,11 @@ def q_dup_spans(sf_dir: str) -> Dataset:
                 s = (w - 1) * S
                 out_rank.append((d << _PASSAGE_SHIFT) | w)
                 out_dig.append(_hl.md5(
-                    " ".join(toks[s:s + W]).encode()).hexdigest())
+                    " ".join(toks[s:s + W]).encode()).digest())
                 out_e.append(min(s + W, n))
+        # 16-byte binary digests (not hex) — internal shuffle key only
         return pa.table({"rank": pa.array(out_rank, pa.int64()),
-                         "digest": pa.array(out_dig, pa.string()),
+                         "digest": pa.array(out_dig, pa.binary()),
                          "e": pa.array(out_e, pa.int64())})
 
     empty = pa.table({"doc_id": pa.array([], pa.int64()),

@@ -378,23 +378,40 @@ _BIT_SHIFTS = np.arange(64, dtype=np.uint64)
 _BIT_WEIGHTS = np.left_shift(np.uint64(1), _BIT_SHIFTS)
 
 
+_SIMHASH_CHUNK = 1 << 17  # token hashes per vectorized block: caps the
+# transient bit matrix at ~33 MB (chunk x 64 x int32) — the unchunked form
+# allocated 512 B per token hash across the WHOLE batch, an OOM risk on
+# long documents (review finding)
+
+
 def _simhash_batch(texts: list) -> np.ndarray:
-    """uint64 SimHash per text, fully vectorized across the batch: all
-    documents' token hashes concatenate into ONE bit matrix; per-document
-    +-1 votes are a single ``np.add.reduceat`` down it."""
+    """uint64 SimHash per text, vectorized in bounded blocks: documents'
+    token hashes concatenate into a bit matrix (never more than
+    _SIMHASH_CHUNK rows at once); per-document +-1 votes are one
+    ``np.add.reduceat`` down each block."""
     hs = [token_hashes64(t or "") for t in texts]
-    counts = np.fromiter((len(h) for h in hs), dtype=np.int64, count=len(hs))
     out = np.zeros(len(hs), dtype=np.uint64)
-    nz = counts > 0
-    if not nz.any():
-        return out
-    allh = np.concatenate([h for h in hs if len(h)])
-    bits = ((allh[:, None] >> _BIT_SHIFTS) & np.uint64(1)).astype(np.int64)
-    cnz = counts[nz]
-    offs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(cnz)[:-1]])
-    ones = np.add.reduceat(bits, offs, axis=0)      # (n_nonempty, 64)
-    votes = 2 * ones - cnz[:, None]
-    out[nz] = ((votes > 0).astype(np.uint64) * _BIT_WEIGHTS).sum(axis=1)
+    i, n = 0, len(hs)
+    while i < n:
+        j, tot = i, 0
+        while j < n and (tot == 0 or tot + len(hs[j]) <= _SIMHASH_CHUNK):
+            tot += len(hs[j])
+            j += 1
+        block = hs[i:j]
+        counts = np.fromiter((len(h) for h in block), dtype=np.int64,
+                             count=len(block))
+        nz = counts > 0
+        if nz.any():
+            allh = np.concatenate([h for h in block if len(h)])
+            bits = ((allh[:, None] >> _BIT_SHIFTS) & np.uint64(1)).astype(np.int32)
+            cnz = counts[nz]
+            offs = np.concatenate([np.zeros(1, dtype=np.int64),
+                                   np.cumsum(cnz)[:-1]])
+            ones = np.add.reduceat(bits, offs, axis=0)   # (n_nonempty, 64)
+            votes = 2 * ones.astype(np.int64) - cnz[:, None]
+            out[i:j][nz] = ((votes > 0).astype(np.uint64)
+                            * _BIT_WEIGHTS).sum(axis=1)
+        i = j
     return out
 
 

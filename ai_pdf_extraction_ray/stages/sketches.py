@@ -26,10 +26,26 @@ _ALPHA = 0.7213 / (1 + 1.079 / M)
 
 
 def _hash64(values) -> np.ndarray:  # noqa: ANN001 — list or ndarray
+    """Value-deterministic 64-bit hashing: a given VALUE must hash the same
+    whatever its batch's null/dtype composition (a nullable int column
+    surfaces as float64 or object batch-by-batch; dispatching on the batch
+    dtype alone would set different HLL registers for the same value across
+    batches — review finding). Nulls/NaNs are dropped, matching SQL
+    count(DISTINCT) semantics."""
     arr = np.asarray(values)
     if arr.dtype.kind in "iu":
         return hash64_ints(arr)
-    return hash64_strs(list(values))
+    if arr.dtype.kind == "f":
+        kept = arr[~np.isnan(arr)]
+        as_int = kept.astype(np.int64)
+        if np.array_equal(as_int.astype(np.float64), kept):
+            return hash64_ints(as_int)  # integer-valued floats == int batches
+        return hash64_strs([repr(float(v)) for v in kept])
+    vals = [v for v in values if v is not None]
+    if vals and all(isinstance(v, (int, np.integer))
+                    and not isinstance(v, (bool, np.bool_)) for v in vals):
+        return hash64_ints(np.asarray(vals, dtype=np.int64))
+    return hash64_strs([str(v) for v in vals])
 
 
 def _clz64(v: np.ndarray) -> np.ndarray:

@@ -108,3 +108,28 @@ class TestLabelCentroids:
             sub = got[got.label == lab].sort_values("dim")["centroid"].to_numpy()
             assert len(sub) == X.shape[1]
             assert np.abs(sub - want).max() < 1e-5
+
+
+class TestHash64ValueDeterminism:
+    """_hash64 must hash a VALUE identically whatever its batch's
+    null/dtype composition (nullable int columns surface as float/object
+    batch-by-batch; review finding)."""
+
+    def test_float_and_object_batches_match_int_batches(self):
+        import numpy as np
+
+        from ai_pdf_extraction_ray.stages.sketches import _hash64
+
+        base = _hash64(np.array([42, 7, 9], dtype=np.int64))
+        as_float = _hash64(np.array([42.0, np.nan, 7.0, 9.0]))
+        as_object = _hash64([42, None, 7, 9])
+        assert sorted(base) == sorted(as_float) == sorted(as_object)
+
+    def test_true_floats_hash_consistently(self):
+        import numpy as np
+
+        from ai_pdf_extraction_ray.stages.sketches import _hash64
+
+        a = _hash64(np.array([1.5, 2.5]))
+        b = _hash64(np.array([1.5, np.nan, 2.5]))
+        assert sorted(a) == sorted(b)

@@ -116,3 +116,22 @@ class TestDatasetSplit:
         want = np.where(tops < 230, "train",
                         np.where(tops < 243, "val", "test"))
         assert (df["split"].to_numpy() == want).all()
+
+
+class TestNtileEmptyInput:
+    def test_empty_events_returns_empty(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ai_pdf_extraction_ray.pipelines.queries import q_value_ntile
+
+        pq.write_table(pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "value": pa.array([], pa.float64()),
+        }), tmp_path / "events.parquet")
+        # pre-fix this raised TypeError (Dataset.aggregate returns None on
+        # empty input); Ray's empty-Dataset to_pandas drops columns, so the
+        # contract here is: no crash, zero rows
+        df = q_value_ntile(str(tmp_path)).to_pandas()
+        assert len(df) == 0
