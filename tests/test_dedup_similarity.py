@@ -583,3 +583,19 @@ class TestDupSpans:
         # doc 2: fully duplicated -> everything excised
         assert df.loc[2, "clean_text"] == ""
         assert df.loc[2, "n_removed"] == 60
+
+
+class TestSimHashChunking:
+    def test_block_boundaries_do_not_change_signatures(self, monkeypatch):
+        """The bounded-memory vote pass must be bit-identical however the
+        batch splits into vectorized blocks."""
+        import numpy as np
+
+        import ai_pdf_extraction_ray.stages.dedup as D
+
+        texts = [" ".join(f"t{i}_{j}" for j in range(50 + i % 37))
+                 for i in range(40)]
+        texts += ["", "one", "a b"]
+        ref = D._simhash_batch(texts)
+        monkeypatch.setattr(D, "_SIMHASH_CHUNK", 64)  # force tiny blocks
+        assert np.array_equal(ref, D._simhash_batch(texts))
