@@ -2916,6 +2916,69 @@ def q_url_host_filter(sf_dir: str) -> Dataset:
     return docs.map_batches(keep, batch_format="pyarrow")
 
 
+SHUFFLE_SEED = 20260817      # epoch seed: change it, get a new global order
+SHUFFLE_BINS_SHIFT = 56      # top byte of the shuffle key -> 256 range bins
+
+
+def q_training_shuffle(sf_dir: str) -> Dataset:
+    """Deterministic global training-order shuffle: every document gets a
+    position in a pseudorandom epoch order keyed by
+    splitmix64(doc_id + seed). Unlike ``Dataset.random_shuffle()`` the
+    order is a pure function of (key, seed) — rerun-stable, resumable, and
+    independent of partitioning, so a re-run after failure reproduces the
+    exact epoch order (and the whole thing restates in SQL).
+
+    Scale shape: the distributed-rank pattern (value_ntile/
+    sequence_packing): keys bin by their top byte, per-bin counts reduce
+    to a 256-row offset table prefix-summed on the driver and broadcast;
+    each bin — a uniform 1/256 slice of the corpus, keys are uniform by
+    construction — sorts locally and adds its offset. No global sort
+    operator, no whole-corpus ordering on one node."""
+    from ..functions.fasthash import hash64_ints
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        k = hash64_ints(d + SHUFFLE_SEED)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "k": pa.array(k.view(np.int64)),
+            "bin": pa.array((k >> np.uint64(SHUFFLE_BINS_SHIFT))
+                            .astype(np.int64)),
+        })
+
+    kds = docs.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    def bin_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"bin": b.column("bin"),
+                      "one": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+        return t.group_by("bin").aggregate([("one", "sum")])
+
+    totals = (kds.map_batches(bin_partial, batch_format="pyarrow")
+              .groupby("bin").aggregate(Sum("one_sum", alias_name="c"))
+              ).to_pandas().sort_values("bin")   # <= 256 rows
+    if totals.empty:
+        return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                       "pos": pa.array([], pa.int64())}))
+    offsets = dict(zip(totals["bin"].astype(int),
+                       totals["c"].cumsum() - totals["c"]))
+    oref = ray.put(offsets)
+
+    def order_bin(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(oref)
+        # unsigned order: view the int64 key back as uint64 (hash keys are
+        # uniform uint64; int64 view would rank negatives first)
+        ku = g["k"].to_numpy().view(np.uint64)
+        srt = np.lexsort((g["doc_id"].to_numpy(), ku))
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy()[srt],
+            "pos": offs[int(g["bin"].iloc[0])] + np.arange(len(g)),
+        })
+
+    return kds.groupby("bin").map_groups(order_bin, batch_format="pandas")
+
+
 # data-mixing weights: keep-probability numerators out of 256, by host.
 # h0 is the corpus's deliberate skew host (1/3 of all docs) — downsample it
 # to 25%; unlisted hosts keep everything.
@@ -4236,6 +4299,16 @@ QUERIES: dict[str, dict] = {
             FROM flags GROUP BY doc_id
         """,
     },
+    "training_shuffle": {
+        "fn": q_training_shuffle,
+        "sql": f"""
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                        ORDER BY ({_splitmix_hv_sql(f"doc_id + {SHUFFLE_SEED}")}), doc_id)
+                        - 1 AS BIGINT) AS pos
+            FROM documents
+        """,
+    },
     "domain_weighted_sample": {
         "fn": q_domain_weighted_sample,
         "sql": rf"""
@@ -4325,7 +4398,7 @@ _ROUND3_WINDOW_FIRST = [
     "customers_semi_join_bloom", "customers_anti_join", "orders_rollup",
     "orders_cube", "unigram_logprob", "events_pivot", "embedding_dup_pairs",
     "passage_dedup", "url_host_filter", "top_terms_per_lang", "dup_spans",
-    "dedup_excise", "domain_weighted_sample",
+    "dedup_excise", "domain_weighted_sample", "training_shuffle",
     # round-3 reworked veterans — re-gate the new implementations:
     "value_ntile", "revenue_by_nation", "quantiles", "minhash_near_dups",
     "simhash_near_dups", "near_dup_clusters", "embedding_near_dups_lsh",

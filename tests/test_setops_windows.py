@@ -135,3 +135,20 @@ class TestNtileEmptyInput:
         # contract here is: no crash, zero rows
         df = q_value_ntile(str(tmp_path)).to_pandas()
         assert len(df) == 0
+
+
+class TestTrainingShuffle:
+    def test_permutation_deterministic_and_scrambled(self, ray_session):
+        from ai_pdf_extraction_ray.pipelines.queries import q_training_shuffle
+
+        df = (q_training_shuffle(SF_SMOKE).to_pandas()
+              .sort_values("pos").reset_index(drop=True))
+        # exact permutation: positions 0..n-1 once each, all docs present
+        assert list(df.pos) == list(range(500))
+        assert sorted(df.doc_id) == list(range(500))
+        # genuinely scrambled (not identity / not sorted)
+        assert list(df.doc_id) != list(range(500))
+        # deterministic: a second run reproduces the epoch order exactly
+        df2 = (q_training_shuffle(SF_SMOKE).to_pandas()
+               .sort_values("pos").reset_index(drop=True))
+        assert list(df.doc_id) == list(df2.doc_id)
