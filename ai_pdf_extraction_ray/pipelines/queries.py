@@ -770,6 +770,155 @@ def q_value_ntile(sf_dir: str) -> Dataset:
         ntile_group, batch_format="pandas")
 
 
+def _nation_region_maps(sf_dir: str):
+    """Driver-side (nation ⋈ region) dimension prep: 25 + 5 rows, the
+    canonical broadcast-small-side pattern. Returns sorted nationkeys with
+    aligned nation and region names for vectorized searchsorted lookups."""
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    region = rd.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    nr = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    nr = nr.sort_values("n_nationkey")
+    return (nr["n_nationkey"].to_numpy(), nr["n_name"].to_numpy(),
+            nr["r_name"].to_numpy())
+
+
+def q_region_revenue(sf_dir: str) -> Dataset:
+    """TPC-H Q5 flavor: order revenue rolled up to customer REGION —
+    orders pre-aggregate to customer grain, hash-join customer (both
+    SF-scaled), then the 25-row nation⋈region map resolves each customer
+    to a region name with a vectorized lookup (miss -> dropped, inner-join
+    semantics). Exercises the region dimension + two-level rollup."""
+    from ..stages.dedup import _join_partitions, nonempty_blocks
+
+    keys, _, rnames = _nation_region_maps(sf_dir)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"o_custkey": batch.column("o_custkey"),
+                      "price": batch.column("o_totalprice")})
+        return t.group_by("o_custkey").aggregate([("price", "sum"),
+                                                  ("price", "count")])
+
+    per_cust = (orders.map_batches(partial, batch_format="pyarrow")
+                .groupby("o_custkey")
+                .aggregate(Sum("price_sum", alias_name="rev_raw"),
+                           Sum("price_count", alias_name="n_orders"))
+                ).materialize()
+    empty = pa.table({"r_name": pa.array([], pa.string()),
+                      "n_orders": pa.array([], pa.int64()),
+                      "revenue": pa.array([], pa.float64())})
+    n_pc = per_cust.count()
+    if n_pc == 0:
+        return rd.from_arrow(empty)
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"]).materialize()
+    n_cust = cust.count()
+    if n_cust == 0:
+        return rd.from_arrow(empty)
+    joined = nonempty_blocks(per_cust, n_pc).join(
+        nonempty_blocks(cust, n_cust), join_type="inner",
+        num_partitions=_join_partitions(),
+        on=("o_custkey",), right_on=("c_custkey",))
+
+    def region_partial(b: pa.Table) -> pa.Table:
+        nk = b.column("c_nationkey").to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(keys, nk), 0, len(keys) - 1)
+        valid = keys[idx] == nk
+        t = pa.table({
+            "r_name": pa.array(rnames[idx[valid]], pa.string()),
+            "rev_raw": b.column("rev_raw").filter(pa.array(valid)),
+            "n_orders": b.column("n_orders").filter(pa.array(valid)),
+        })
+        return t.group_by("r_name").aggregate([("rev_raw", "sum"),
+                                               ("n_orders", "sum")])
+
+    agg = (joined.map_batches(region_partial, batch_format="pyarrow")
+           .groupby("r_name")
+           .aggregate(Sum("rev_raw_sum", alias_name="revenue_raw"),
+                      Sum("n_orders_sum", alias_name="n_orders")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "r_name": b.column("r_name"),
+            "n_orders": b.column("n_orders").cast(pa.int64()),
+            "revenue": _pc_round(b.column("revenue_raw"), 2)}),
+        batch_format="pyarrow")
+
+
+def q_supplier_balance_by_region(sf_dir: str) -> Dataset:
+    """Supplier account balances rolled up to region: supplier scans once,
+    each row resolves nation -> region via the broadcast 25-row map, and
+    per-batch partials reduce to a 5-row groupby. Exercises the supplier
+    dimension with the no-shuffle dim-resolve shape."""
+    keys, _, rnames = _nation_region_maps(sf_dir)
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_nationkey", "s_acctbal"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        nk = b.column("s_nationkey").to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(keys, nk), 0, len(keys) - 1)
+        valid = keys[idx] == nk
+        t = pa.table({
+            "r_name": pa.array(rnames[idx[valid]], pa.string()),
+            "bal": b.column("s_acctbal").filter(pa.array(valid)),
+        })
+        return t.group_by("r_name").aggregate([("bal", "sum"),
+                                               ("bal", "count")])
+
+    agg = (sup.map_batches(partial, batch_format="pyarrow")
+           .groupby("r_name")
+           .aggregate(Sum("bal_sum", alias_name="bal_raw"),
+                      Sum("bal_count", alias_name="n_suppliers")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        tot = b.column("bal_raw").to_numpy(zero_copy_only=False)
+        n = b.column("n_suppliers").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "r_name": b.column("r_name"),
+            "n_suppliers": b.column("n_suppliers").cast(pa.int64()),
+            "total_bal": pa.array(_np_round(tot, 2), pa.float64()),
+            "avg_bal": pa.array(_np_round(tot / n, 2), pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_part_brand_stats(sf_dir: str) -> Dataset:
+    """Part-catalog rollup per brand: count, average retail price, size
+    span. Column-pruned scan + per-batch partials (sum/count/min/max) ->
+    one small groupby; exercises the part dimension."""
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_brand", "p_retailprice", "p_size"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"p_brand": b.column("p_brand"),
+                      "price": b.column("p_retailprice"),
+                      "size": b.column("p_size")})
+        return t.group_by("p_brand").aggregate([
+            ("price", "sum"), ("price", "count"),
+            ("size", "min"), ("size", "max")])
+
+    agg = (part.map_batches(partial, batch_format="pyarrow")
+           .groupby("p_brand")
+           .aggregate(Sum("price_sum", alias_name="price_raw"),
+                      Sum("price_count", alias_name="n_parts"),
+                      Min("size_min", alias_name="min_size"),
+                      Max("size_max", alias_name="max_size")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        tot = b.column("price_raw").to_numpy(zero_copy_only=False)
+        n = b.column("n_parts").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "p_brand": b.column("p_brand"),
+            "n_parts": b.column("n_parts").cast(pa.int64()),
+            "avg_price": pa.array(_np_round(tot / n, 2), pa.float64()),
+            "min_size": b.column("min_size").cast(pa.int64()),
+            "max_size": b.column("max_size").cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_hash_sample(sf_dir: str) -> Dataset:
     """Deterministic hash sampling: keep docs whose splitmix64(doc_id) has
     top byte < 26 (26/256 ~ 10.2%). Rerun-stable and cluster-stable — the
@@ -4299,6 +4448,43 @@ QUERIES: dict[str, dict] = {
             FROM flags GROUP BY doc_id
         """,
     },
+    "region_revenue": {
+        "fn": q_region_revenue,
+        "sql": """
+            SELECT r_name,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(round((sum(o_totalprice)) * 100) AS BIGINT) / 100.0 AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+    },
+    "supplier_balance_by_region": {
+        "fn": q_supplier_balance_by_region,
+        "sql": """
+            SELECT r_name,
+                   CAST(count(*) AS BIGINT) AS n_suppliers,
+                   CAST(round((sum(s_acctbal)) * 100) AS BIGINT) / 100.0 AS total_bal,
+                   CAST(round((sum(s_acctbal) / count(*)) * 100) AS BIGINT) / 100.0 AS avg_bal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+    },
+    "part_brand_stats": {
+        "fn": q_part_brand_stats,
+        "sql": """
+            SELECT p_brand,
+                   CAST(count(*) AS BIGINT) AS n_parts,
+                   CAST(round((sum(p_retailprice) / count(*)) * 100) AS BIGINT) / 100.0 AS avg_price,
+                   CAST(min(p_size) AS BIGINT) AS min_size,
+                   CAST(max(p_size) AS BIGINT) AS max_size
+            FROM part GROUP BY p_brand
+        """,
+    },
     "training_shuffle": {
         "fn": q_training_shuffle,
         "sql": f"""
@@ -4399,11 +4585,16 @@ _ROUND3_WINDOW_FIRST = [
     "orders_cube", "unigram_logprob", "events_pivot", "embedding_dup_pairs",
     "passage_dedup", "url_host_filter", "top_terms_per_lang", "dup_spans",
     "dedup_excise", "domain_weighted_sample", "training_shuffle",
-    # round-3 reworked veterans — re-gate the new implementations:
+    "region_revenue", "supplier_balance_by_region", "part_brand_stats",
+    # round-3 reworked veterans — re-gate the new implementations. Swapped
+    # OUT for the three dimension queries above (window is 50): exact_dedup,
+    # heavy_hitters, knn_multiquery — all r02-green, and their round-3
+    # kernel deltas are nil or re-gated by an in-window sibling
+    # (knn_bruteforce covers the shared emb_matrix helper,
+    # approx_distinct_users covers the fasthash sketch kernel).
     "value_ntile", "revenue_by_nation", "quantiles", "minhash_near_dups",
     "simhash_near_dups", "near_dup_clusters", "embedding_near_dups_lsh",
     "approx_distinct_users", "fingerprints", "knn_ivf", "knn_bruteforce",
-    "knn_multiquery", "heavy_hitters", "exact_dedup",
 ]
 QUERIES = {k: QUERIES[k] for k in _ROUND3_WINDOW_FIRST
            + [k for k in QUERIES if k not in set(_ROUND3_WINDOW_FIRST)]}

@@ -211,3 +211,38 @@ class TestCorrelation:
             assert got.loc[flag, "corr"] == pytest.approx(want, abs=1e-4)
             assert got.loc[flag, "n"] == len(g)
         assert (got["corr"].abs() <= 1.0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDimensionRollups:
+    """region/supplier/part dimension queries vs direct DuckDB."""
+
+    def test_region_revenue_conserves_orders(self):
+        import duckdb
+
+        from ai_pdf_extraction_ray.pipelines.queries import q_region_revenue
+
+        df = q_region_revenue(SF_SMOKE).to_pandas()
+        assert len(df) == 5
+        total = duckdb.sql(
+            f"""SELECT count(*) FROM read_parquet('{SF_SMOKE}/orders.parquet') o
+                JOIN read_parquet('{SF_SMOKE}/customer.parquet') c
+                  ON o.o_custkey = c.c_custkey"""
+        ).fetchone()[0]
+        assert df.n_orders.sum() == total
+
+    def test_supplier_and_part_rollups(self):
+        from ai_pdf_extraction_ray.pipelines.queries import (
+            q_part_brand_stats,
+            q_supplier_balance_by_region,
+        )
+
+        import pyarrow.parquet as pq
+
+        n_sup = pq.read_metadata(f"{SF_SMOKE}/supplier.parquet").num_rows
+        n_part = pq.read_metadata(f"{SF_SMOKE}/part.parquet").num_rows
+        sup = q_supplier_balance_by_region(SF_SMOKE).to_pandas()
+        assert sup.n_suppliers.sum() == n_sup    # every supplier attributed
+        part = q_part_brand_stats(SF_SMOKE).to_pandas()
+        assert part.n_parts.sum() == n_part      # every part attributed
+        assert (part.min_size <= part.max_size).all()
