@@ -1074,7 +1074,14 @@ def q_curation_splits(sf_dir: str) -> Dataset:
 
     grams_ref = ray.put(build_benchmark_ngrams(sf_dir))
     kept = _flagged_docs(sf_dir, grams_ref)
-    canon = kept.groupby("digest").aggregate(_Min("doc_id", alias_name="keep_id"))
+    # slim (digest, doc_id) exchange — same keep-first rule as curate_job;
+    # the 128-bit fasthash digest groups texts exactly as the oracle's
+    # md5(text) does (collision-free digests induce the same partition)
+    canon = (
+        kept.select_columns(["digest_hi", "digest_lo", "doc_id"])
+        .groupby(["digest_hi", "digest_lo"])
+        .aggregate(_Min("doc_id", alias_name="keep_id"))
+    )
 
     def split_partial(b: pa.Table) -> pa.Table:
         splits = assign_split_vec(
