@@ -79,3 +79,12 @@ class BloomFilter:
         bf = cls(num_bits=len(raw) * 8, num_hashes=num_hashes)
         bf.bits = np.frombuffer(raw, dtype=np.uint8).copy()
         return bf
+
+    @classmethod
+    def probe_view(cls, raw: bytes, num_hashes: int = 7) -> "BloomFilter":
+        """Read-only view over a broadcast bitmap — no per-batch copy of
+        the (possibly multi-MB) filter on the probe hot path. Only
+        ``contains_many`` is valid on the result."""
+        bf = cls(num_bits=len(raw) * 8, num_hashes=num_hashes)
+        bf.bits = np.frombuffer(raw, dtype=np.uint8)
+        return bf

@@ -95,7 +95,23 @@ def read_jsonl_corpus(path: str, *, default_source: str = "jsonl") -> Dataset:
                              b.column("bytes").to_pylist()):
             if not data or not data.strip():
                 continue  # empty file: zero records, nothing to audit
-            t = pj.read_json(io.BytesIO(data))
+            try:
+                t = pj.read_json(io.BytesIO(data))
+            except pa.ArrowInvalid as exc:
+                # malformed JSON aborts Arrow's whole-file parse; the
+                # failure-is-data contract still applies — emit ONE
+                # auditable error row for the file (doc_id from
+                # md5(path, 0), like any id-less record) instead of
+                # crashing the ingest task (advisor round-3 finding)
+                bad = pa.table({"doc_id": pa.array([None], pa.int64()),
+                                "text": pa.array([None], pa.string())})
+                row = _normalize_file(bad, pth, default_source)
+                err = f"malformed_json: {str(exc)[:120]}"
+                row = row.set_column(
+                    row.schema.get_field_index("ingest_error"),
+                    "ingest_error", pa.array([err], pa.string()))
+                out.append(row)
+                continue
             out.append(_normalize_file(t, pth, default_source))
         if not out:
             return _OUT_SCHEMA.empty_table()

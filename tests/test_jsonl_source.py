@@ -38,6 +38,24 @@ class TestJsonlSource:
         derived = df[~df.doc_id.isin([1, 2, 4, 5])]
         assert len(derived) == 1 and (derived["doc_id"] >= 0).all()
 
+    def test_malformed_file_becomes_error_row(self, tmp_path):
+        """A file Arrow's JSON parser rejects must surface as ONE auditable
+        ingest_error row, not abort the ingest task — the module's
+        failure-is-data contract (advisor round-3 finding)."""
+        from ai_pdf_extraction_ray.sources.jsonl import read_jsonl_corpus
+
+        good = tmp_path / "good.jsonl"
+        self._write(good, [{"doc_id": 1, "text": "fine record"}])
+        bad = tmp_path / "bad.jsonl"
+        bad.write_text('{"doc_id": 2, "text": "unterminated\n{oops')
+        df = read_jsonl_corpus(str(tmp_path)).to_pandas()
+        errs = df[df.ingest_error.notna()]
+        assert len(errs) == 1
+        assert errs.iloc[0]["ingest_error"].startswith("malformed_json")
+        assert errs.iloc[0]["doc_id"] >= 0
+        ok = df[df.ingest_error.isna()]
+        assert list(ok["doc_id"]) == [1]
+
     def test_derived_ids_deterministic_across_runs(self, tmp_path):
         from ai_pdf_extraction_ray.sources.jsonl import read_jsonl_corpus
 
