@@ -215,3 +215,64 @@ class TestDomainWeightedSample:
         # determinism: second run identical
         df2 = q_domain_weighted_sample(SF_SMOKE).to_pandas()
         assert sorted(df.doc_id) == sorted(df2.doc_id)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPiiRedaction:
+    def test_planted_pii_detected_and_redacted(self):
+        from ai_pdf_extraction_ray.pipelines.queries import q_pii_redaction
+
+        df = (q_pii_redaction(SF_SMOKE).to_pandas()
+              .set_index("doc_id").sort_index())
+        # 500 docs, blobs planted at doc_id %5 / %7 / %11 — inclusion-
+        # exclusion gives exactly 188 PII-bearing documents
+        assert len(df) == 188
+        # doc 385 = 5*7*11: all three PII kinds in one document
+        row = df.loc[385]
+        assert (row.n_emails, row.n_phones, row.n_ips) == (1, 1, 1)
+        assert "<EMAIL>" in row.clean_text
+        assert "<PHONE>" in row.clean_text
+        assert "<IP>" in row.clean_text
+        # nothing PII-shaped survives redaction anywhere
+        assert not df.clean_text.str.contains("@").any()
+        assert not df.clean_text.str.contains(r"\(555\)", regex=True).any()
+        assert not df.clean_text.str.contains(
+            r"\b10\.\d+\.\d+\.\d+\b", regex=True).any()
+        # clean docs (e.g. doc 1) are not re-emitted
+        assert 1 not in df.index
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHostBoilerplate:
+    def test_shared_footer_flagged_within_host_only(self, tmp_path):
+        """Three docs of one host share a 20-token footer passage; a doc
+        on ANOTHER host carrying the same footer must not be flagged
+        (host-scoped template detection), nor unique-content docs."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ai_pdf_extraction_ray.pipelines.queries import q_host_boilerplate
+
+        footer = " ".join(f"foot{i}" for i in range(20))
+        # host for doc_id d: 0 if d%3==0 else d%41
+        # docs 3, 6, 9 -> host 0 (share footer); doc 1 -> host 1 (same
+        # footer, different host); doc 2 -> host 2 (unique content)
+        rows = {
+            3: " ".join(f"a{i}" for i in range(20)) + " " + footer,
+            6: " ".join(f"b{i}" for i in range(20)) + " " + footer,
+            9: " ".join(f"c{i}" for i in range(20)) + " " + footer,
+            1: " ".join(f"d{i}" for i in range(20)) + " " + footer,
+            2: " ".join(f"e{i}" for i in range(40)),
+        }
+        pq.write_table(pa.table({
+            "doc_id": pa.array(sorted(rows), pa.int64()),
+            "text": pa.array([rows[k] for k in sorted(rows)]),
+        }), tmp_path / "documents.parquet")
+
+        df = (q_host_boilerplate(str(tmp_path)).to_pandas()
+              .set_index("doc_id").sort_index())
+        assert list(df.index) == [3, 6, 9]
+        assert (df.host == "h0.example.com").all()
+        assert (df.n_unique_passages == 2).all()
+        assert (df.n_boiler_passages == 1).all()
+        assert (df.boiler_frac == 0.5).all()

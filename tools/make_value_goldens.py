@@ -28,6 +28,7 @@ sys.path.insert(0, str(REPO))
 SF_DIR = "/root/testdata/sf0.01"
 
 GOLDEN_QUERIES = [
+    "compression_ratio",
     "discovered_schema",
     "fingerprints",
     "approx_distinct_users",
