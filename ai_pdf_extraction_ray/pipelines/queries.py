@@ -397,6 +397,11 @@ def q_pricing_summary(sf_dir: str) -> Dataset:
 
     def finish(batch: pa.Table) -> pa.Table:
         n = batch.column("count_order").cast(pa.float64())
+        # averages divide the exact-cents-ROUNDED sums (true sums are
+        # cent-multiples, so the snap absorbs summation-order ulps; the
+        # oracle divides the identical rounded value — an unrounded-sum
+        # divide flips half-cent-boundary averages across block orders,
+        # observed on supplier_balance_by_region at sf0.1)
         return pa.table({
             "l_returnflag": batch.column("l_returnflag"),
             "l_linestatus": batch.column("l_linestatus"),
@@ -404,9 +409,12 @@ def q_pricing_summary(sf_dir: str) -> Dataset:
             "sum_base_price": _pc_round(batch.column("sum_base_price"), 2),
             "sum_disc_price": _pc_round(batch.column("sum_disc_price"), 2),
             "sum_charge": _pc_round(batch.column("sum_charge"), 2),
-            "avg_qty": _pc_round(pc.divide(batch.column("sum_qty"), n), 4),
-            "avg_price": _pc_round(pc.divide(batch.column("sum_base_price"), n), 4),
-            "avg_disc": _pc_round(pc.divide(batch.column("s_disc"), n), 4),
+            "avg_qty": _pc_round(pc.divide(
+                _pc_round(batch.column("sum_qty"), 2), n), 4),
+            "avg_price": _pc_round(pc.divide(
+                _pc_round(batch.column("sum_base_price"), 2), n), 4),
+            "avg_disc": _pc_round(pc.divide(
+                _pc_round(batch.column("s_disc"), 2), n), 4),
             "count_order": batch.column("count_order").cast(pa.int64()),
         })
 
@@ -873,11 +881,13 @@ def q_supplier_balance_by_region(sf_dir: str) -> Dataset:
     def finish(b: pa.Table) -> pa.Table:
         tot = b.column("bal_raw").to_numpy(zero_copy_only=False)
         n = b.column("n_suppliers").to_numpy(zero_copy_only=False)
+        tot_r = _np_round(tot, 2)  # exact cents; avg divides the
+        # rounded sum so both sides round the identical quotient
         return pa.table({
             "r_name": b.column("r_name"),
             "n_suppliers": b.column("n_suppliers").cast(pa.int64()),
-            "total_bal": pa.array(_np_round(tot, 2), pa.float64()),
-            "avg_bal": pa.array(_np_round(tot / n, 2), pa.float64()),
+            "total_bal": pa.array(tot_r, pa.float64()),
+            "avg_bal": pa.array(_np_round(tot_r / n, 2), pa.float64()),
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
@@ -911,7 +921,8 @@ def q_part_brand_stats(sf_dir: str) -> Dataset:
         return pa.table({
             "p_brand": b.column("p_brand"),
             "n_parts": b.column("n_parts").cast(pa.int64()),
-            "avg_price": pa.array(_np_round(tot / n, 2), pa.float64()),
+            "avg_price": pa.array(
+                _np_round(_np_round(tot, 2) / n, 2), pa.float64()),
             "min_size": b.column("min_size").cast(pa.int64()),
             "max_size": b.column("max_size").cast(pa.int64()),
         })
@@ -3031,8 +3042,13 @@ def q_dedup_excise(sf_dir: str) -> Dataset:
             idx = np.clip(np.searchsorted(ids, d), 0, len(ids) - 1)
             return b.filter(pa.array(ids[idx] == d))
     else:
-        # ~10 bits/key for ~1% fp, next power of two, floor 2^17 (16 KiB)
-        num_bits = 1 << max(17, int(np.ceil(np.log2(10 * n_sp))))
+        # ~10 bits/key for ~1% fp, next power of two, floor 2^17 (16 KiB),
+        # CAP 2^27 (16 MiB): every batch allocates a partial bitmap of this
+        # size, so an uncapped corpus-sized filter would put gigabytes on
+        # each map task. Past the cap the fp rate degrades gracefully and
+        # the inner join still removes every false positive — the cap
+        # trades join traffic, never correctness.
+        num_bits = 1 << min(27, max(17, int(np.ceil(np.log2(10 * n_sp)))))
 
         def bloom_partial(b: pa.Table) -> pa.Table:
             bf = BloomFilter(num_bits=num_bits)
@@ -3787,9 +3803,9 @@ QUERIES: dict[str, dict] = {
                    CAST(round((sum(l_extendedprice)) * 100) AS BIGINT) / 100.0 AS sum_base_price,
                    CAST(round((sum(l_extendedprice * (1 - l_discount))) * 100) AS BIGINT) / 100.0 AS sum_disc_price,
                    CAST(round((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100) AS BIGINT) / 100.0 AS sum_charge,
-                   CAST(round((sum(l_quantity) / count(*)) * 10000) AS BIGINT) / 10000.0 AS avg_qty,
-                   CAST(round((sum(l_extendedprice) / count(*)) * 10000) AS BIGINT) / 10000.0 AS avg_price,
-                   CAST(round((sum(l_discount) / count(*)) * 10000) AS BIGINT) / 10000.0 AS avg_disc,
+                   CAST(round(((CAST(round((sum(l_quantity)) * 100) AS BIGINT) / 100.0) / count(*)) * 10000) AS BIGINT) / 10000.0 AS avg_qty,
+                   CAST(round(((CAST(round((sum(l_extendedprice)) * 100) AS BIGINT) / 100.0) / count(*)) * 10000) AS BIGINT) / 10000.0 AS avg_price,
+                   CAST(round(((CAST(round((sum(l_discount)) * 100) AS BIGINT) / 100.0) / count(*)) * 10000) AS BIGINT) / 10000.0 AS avg_disc,
                    CAST(count(*) AS BIGINT) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
@@ -4781,7 +4797,7 @@ QUERIES: dict[str, dict] = {
             SELECT r_name,
                    CAST(count(*) AS BIGINT) AS n_suppliers,
                    CAST(round((sum(s_acctbal)) * 100) AS BIGINT) / 100.0 AS total_bal,
-                   CAST(round((sum(s_acctbal) / count(*)) * 100) AS BIGINT) / 100.0 AS avg_bal
+                   CAST(round(((CAST(round((sum(s_acctbal)) * 100) AS BIGINT) / 100.0) / count(*)) * 100) AS BIGINT) / 100.0 AS avg_bal
             FROM supplier
             JOIN nation ON s_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
@@ -4793,7 +4809,7 @@ QUERIES: dict[str, dict] = {
         "sql": """
             SELECT p_brand,
                    CAST(count(*) AS BIGINT) AS n_parts,
-                   CAST(round((sum(p_retailprice) / count(*)) * 100) AS BIGINT) / 100.0 AS avg_price,
+                   CAST(round(((CAST(round((sum(p_retailprice)) * 100) AS BIGINT) / 100.0) / count(*)) * 100) AS BIGINT) / 100.0 AS avg_price,
                    CAST(min(p_size) AS BIGINT) AS min_size,
                    CAST(max(p_size) AS BIGINT) AS max_size
             FROM part GROUP BY p_brand
@@ -4836,7 +4852,7 @@ QUERIES: dict[str, dict] = {
     },
     "compression_ratio": {
         "fn": q_compression_ratio,
-        "sql": GOLDEN_SQL.get("compression_ratio"),
+        "sql": GOLDEN_SQL["compression_ratio"],
     },
     "host_boilerplate": {
         "fn": q_host_boilerplate,
