@@ -101,14 +101,16 @@ def _flagged_docs(sf_dir: str, grams_ref) -> Dataset:  # noqa: ANN001
 
     def flags(b: pa.Table) -> pa.Table:
         gs = ray.get(grams_ref)
+        texts = b.column("text").to_pylist()   # ONE arrow->py conversion
         keep_rows = [
             curation_stage(lang, text, gs) == STAGE_KEEP
-            for lang, text in zip(b.column("lang").to_pylist(),
-                                  b.column("text").to_pylist())
+            for lang, text in zip(b.column("lang").to_pylist(), texts)
         ]
-        kept = b.filter(pa.array(keep_rows))
+        # typed mask: an untyped pa.array([]) from a zero-row batch is
+        # null-type and Table.filter raises on it (review finding)
+        kept = b.filter(pa.array(keep_rows, pa.bool_()))
         hi, lo = hash128_strs(
-            [t or "" for t in kept.column("text").to_pylist()])
+            [t or "" for t, k in zip(texts, keep_rows) if k])
         kept = kept.append_column(
             "digest_hi", pa.array(hi.view(np.int64), pa.int64()))
         return kept.append_column(

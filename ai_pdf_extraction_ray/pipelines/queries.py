@@ -3050,17 +3050,36 @@ def q_dedup_excise(sf_dir: str) -> Dataset:
         # trades join traffic, never correctness.
         num_bits = 1 << min(27, max(17, int(np.ceil(np.log2(10 * n_sp)))))
 
-        def bloom_partial(b: pa.Table) -> pa.Table:
-            bf = BloomFilter(num_bits=num_bits)
-            bf.add_many(b.column("doc_id").to_numpy(zero_copy_only=False))
-            return pa.table({"bits": pa.array([bf.to_bytes()], pa.binary())})
+        from ..functions.fasthash import hash64_ints
 
+        def bloom_partial(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            bf = BloomFilter(num_bits=num_bits)
+            bf.add_many(ids)
+            bucket = (int(hash64_ints(ids[:1])[0] % np.uint64(64))
+                      if len(ids) else 0)
+            return pa.table({"bucket": pa.array([bucket], pa.int64()),
+                             "bits": pa.array([bf.to_bytes()], pa.binary())})
+
+        def or_merge(g: pd.DataFrame) -> pd.DataFrame:
+            bf = BloomFilter.from_bytes(g["bits"].iloc[0])
+            for raw in g["bits"].iloc[1:]:
+                bf.merge(BloomFilter.probe_view(raw))
+            return pd.DataFrame({"bucket": [int(g["bucket"].iloc[0])],
+                                 "bits": [bf.to_bytes()]})
+
+        # OR-merge IN the cluster (64-bucket groupby tree, the MG/HLL
+        # sketch-merge shape) so the driver folds <= 64 bitmaps, not one
+        # per block (review finding: the driver fold re-created the exact
+        # bottleneck this round removed from heavy_hitters)
         parts = (spans.select_columns(["doc_id"])
                  .map_batches(bloom_partial, batch_format="pyarrow")
-                 .to_pandas())                   # one bitmap row per BLOCK
+                 .groupby("bucket")
+                 .map_groups(or_merge, batch_format="pandas")
+                 .to_pandas())
         bf = BloomFilter.from_bytes(parts["bits"].iloc[0])
         for raw in parts["bits"].iloc[1:]:
-            bf.merge(BloomFilter.from_bytes(raw))
+            bf.merge(BloomFilter.probe_view(raw))
         bloom_ref = ray.put(bf.to_bytes())
 
         def member(b: pa.Table) -> pa.Table:
@@ -3150,7 +3169,11 @@ def q_compression_ratio(sf_dir: str) -> Dataset:
     Scale shape: one streaming map_batches pass, no shuffle; zlib runs at
     C speed over each doc's bytes (same per-doc cost class as the
     extraction kernel). Not SQL-expressible (DuckDB has no zlib) —
-    committed golden pins the values."""
+    committed golden pins the values. NOTE: the golden pins THIS
+    environment's zlib level-6 output sizes; a zlib build change (e.g.
+    zlib-ng) shifts compressed lengths — regenerate via
+    tools/make_value_goldens.py in that case, it is env drift, not a
+    kernel regression."""
     import zlib
 
     docs = _docs(sf_dir, ["doc_id", "text"])
@@ -3191,7 +3214,7 @@ def q_host_boilerplate(sf_dir: str) -> Dataset:
     per-doc totals ride along the seg rows, so one inner join + one
     per-doc aggregate finish the job."""
     from ..functions.fasthash import _POLY1, _POLY2, token_spans
-    from ..sources.corpus import N_HOSTS
+    from ..sources.corpus import host_id_for
     from ..stages.dedup import _join_partitions, nonempty_blocks
 
     docs = _docs(sf_dir, ["doc_id", "text"])
@@ -3214,7 +3237,7 @@ def q_host_boilerplate(sf_dir: str) -> Dataset:
             lo = _POLY2.span_hashes(data, w_starts, w_ends)
             pair = np.unique(np.stack([hi, lo], axis=1), axis=0)
             k = len(pair)
-            out["host_id"].extend([0 if d % 3 == 0 else d % N_HOSTS] * k)
+            out["host_id"].extend([host_id_for(d)] * k)
             out["doc_id"].extend([d] * k)
             # column slices are strided — make contiguous before the
             # same-width int64 reinterpret

@@ -27,10 +27,14 @@ _ALPHA = 0.7213 / (1 + 1.079 / M)
 
 def _hash64_floats(kept: np.ndarray) -> np.ndarray:
     """Integer-valued floats hash via the int path (so 2.0 == 2 whatever
-    batch it appears in); non-integral/huge/inf floats via repr."""
+    batch it appears in); non-integral/out-of-int64-range/inf floats via
+    repr. Range is [-2^63, 2^63) — the exact int64 domain, so the
+    boundary value -2^63 takes the int path here AND as a Python int
+    (review finding: an asymmetric bound hashed it differently per batch
+    dtype)."""
     if len(kept) == 0:
         return np.empty(0, dtype=np.uint64)
-    iv = np.isfinite(kept) & (np.abs(kept) < 2.0 ** 63)
+    iv = (np.isfinite(kept) & (kept >= -(2.0 ** 63)) & (kept < 2.0 ** 63))
     iv &= np.floor(kept) == kept
     parts = []
     if iv.any():
@@ -64,7 +68,12 @@ def _hash64(values) -> np.ndarray:  # noqa: ANN001 — list or ndarray
         if isinstance(v, (bool, np.bool_)):
             strs.append(str(v))
         elif isinstance(v, (int, np.integer)):
-            ints.append(int(v))
+            # out-of-int64-range Python bigints can't take the int path
+            # (np.asarray would raise OverflowError — review finding)
+            if -(2 ** 63) <= int(v) < 2 ** 63:
+                ints.append(int(v))
+            else:
+                strs.append(str(v))
         elif isinstance(v, (float, np.floating)):
             if not np.isnan(v):
                 floats.append(float(v))

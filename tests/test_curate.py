@@ -160,3 +160,22 @@ class TestEmptyGate:
         report = curate_job(str(sf), str(out))
         assert report == {"n_input": 3, "n_kept": 0, "per_split": {}}
         assert json.loads((out / "_REPORT.json").read_text()) == report
+
+    def test_zero_row_corpus(self, tmp_path):
+        """A zero-row documents.parquet delivers an EMPTY batch to the
+        gate: the keep mask must be typed boolean (an untyped empty
+        pa.array is null-type and Table.filter raises — review finding)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ai_pdf_extraction_ray.pipelines.curate import curate_job
+
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "lang": pa.array([], pa.string()),
+            "text": pa.array([], pa.string()),
+        }), str(sf / "documents.parquet"))
+        report = curate_job(str(sf), str(tmp_path / "curated"))
+        assert report == {"n_input": 0, "n_kept": 0, "per_split": {}}
