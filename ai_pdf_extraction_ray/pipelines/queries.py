@@ -3481,6 +3481,79 @@ def q_training_shuffle(sf_dir: str) -> Dataset:
     return kds.groupby("bin").map_groups(order_bin, batch_format="pandas")
 
 
+CURRICULUM_SEED = 20260818   # within-bucket shuffle seed
+CURRICULUM_BIN_TOKENS = 50   # bucket = min(n_tokens // this, 3): 4 stages
+
+
+def q_curriculum_order(sf_dir: str) -> Dataset:
+    """Curriculum data ordering: documents sort by difficulty bucket
+    (length as the difficulty proxy — short/easy first, the classic
+    curriculum-learning schedule), pseudorandomly shuffled WITHIN each
+    bucket by splitmix64(doc_id + seed). Like training_shuffle the whole
+    order is a pure function of (doc_id, text length, seed) —
+    rerun-stable, partitioning-independent, resumable mid-epoch.
+
+    Scale shape: the distributed-rank pattern with a composite key —
+    rows group by (bucket, hash-top-byte) into <= 4*256 cells, per-cell
+    counts prefix-sum into a tiny broadcast offset table, and each cell
+    sorts locally. No global sort operator; the difficulty proxy is a
+    vectorized RE2 token count, no Python per row."""
+    from ..functions.fasthash import hash64_ints
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        n_tok = pc.count_substring_regex(
+            pc.fill_null(b.column("text").cast(pa.string()), ""),
+            pattern=r"\S+").to_numpy(zero_copy_only=False)
+        bucket = np.minimum(n_tok // CURRICULUM_BIN_TOKENS, 3).astype(np.int64)
+        k = hash64_ints(d + CURRICULUM_SEED)
+        grp = bucket * 256 + (k >> np.uint64(56)).astype(np.int64)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "bucket": pa.array(bucket),
+            "k": pa.array(k.view(np.int64)),
+            "grp": pa.array(grp),
+        })
+
+    kds = docs.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    def grp_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"grp": b.column("grp"),
+                      "one": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+        return t.group_by("grp").aggregate([("one", "sum")])
+
+    totals = (kds.map_batches(grp_partial, batch_format="pyarrow")
+              .groupby("grp").aggregate(Sum("one_sum", alias_name="c"))
+              ).to_pandas().sort_values("grp")   # <= 1024 rows
+    if totals.empty:
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64())}))
+    offsets = dict(zip(totals["grp"].astype(int),
+                       totals["c"].cumsum() - totals["c"]))
+    oref = ray.put(offsets)
+
+    def order_grp(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(oref)
+        ku = g["k"].to_numpy().view(np.uint64)
+        srt = np.lexsort((g["doc_id"].to_numpy(), ku))
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy()[srt],
+            "bucket": g["bucket"].to_numpy()[srt],
+            "pos": offs[int(g["grp"].iloc[0])] + np.arange(len(g)),
+        })
+
+    out = kds.groupby("grp").map_groups(order_grp, batch_format="pandas")
+    return out.map_batches(
+        lambda b: b.cast(pa.schema([("doc_id", pa.int64()),
+                                    ("bucket", pa.int64()),
+                                    ("pos", pa.int64())])),
+        batch_format="pyarrow")
+
+
 # data-mixing weights: keep-probability numerators out of 256, by host.
 # h0 is the corpus's deliberate skew host (1/3 of all docs) — downsample it
 # to 25%; unlisted hosts keep everything.
@@ -4848,6 +4921,22 @@ QUERIES: dict[str, dict] = {
             FROM documents
         """,
     },
+    "curriculum_order": {
+        "fn": q_curriculum_order,
+        "sql": rf"""
+            WITH q AS (
+              SELECT doc_id,
+                     least(CAST(len(regexp_extract_all(coalesce(text, ''),
+                          '\S+')) // {CURRICULUM_BIN_TOKENS} AS BIGINT),
+                          3) AS bucket
+              FROM documents)
+            SELECT doc_id, bucket,
+                   CAST(row_number() OVER (ORDER BY bucket,
+                        ({_splitmix_hv_sql(f"doc_id + {CURRICULUM_SEED}")}),
+                        doc_id) - 1 AS BIGINT) AS pos
+            FROM q
+        """,
+    },
     "domain_weighted_sample": {
         "fn": q_domain_weighted_sample,
         "sql": rf"""
@@ -5038,7 +5127,7 @@ QUERIES: dict[str, dict] = {
 # follows, truncated back to 50 by the registry order below.
 _ROUND4_WINDOW_HEAD = [
     "host_boilerplate", "bpe_token_stats", "pii_redaction",
-    "compression_ratio",
+    "compression_ratio", "curriculum_order",
     "curation_splits", "curation_funnel", "incremental_new_docs",
     "dedup_excise", "heavy_hitters", "approx_distinct_users",
     "schema_extraction", "repair_completion", "merge_chunked",

@@ -200,3 +200,23 @@ class TestHotKeyGroups:
         assert list(hot_tail["event_id"]) == [n_hot - 3, n_hot - 2, n_hot - 1]
         assert list(hot_tail["running_value"]) == [
             float(n_hot - 2), float(n_hot - 1), float(n_hot)]
+
+
+class TestCurriculumOrder:
+    def test_buckets_monotone_and_deterministic(self, ray_session):
+        from ai_pdf_extraction_ray.pipelines.queries import q_curriculum_order
+
+        df = (q_curriculum_order(SF_SMOKE).to_pandas()
+              .sort_values("pos").reset_index(drop=True))
+        # exact permutation over the corpus
+        assert list(df.pos) == list(range(500))
+        assert sorted(df.doc_id) == list(range(500))
+        # curriculum: bucket never decreases along the epoch order
+        assert (df.bucket.diff().fillna(0) >= 0).all()
+        # within a bucket the order is scrambled, not doc_id-sorted
+        b0 = df[df.bucket == df.bucket.iloc[0]]
+        assert list(b0.doc_id) != sorted(b0.doc_id)
+        # rerun reproduces the identical epoch order
+        df2 = (q_curriculum_order(SF_SMOKE).to_pandas()
+               .sort_values("pos").reset_index(drop=True))
+        assert list(df.doc_id) == list(df2.doc_id)
