@@ -124,9 +124,7 @@ class DocumentExtractor:
         chunk order (first-non-null scalar semantics)."""
         n_pages = page_count(payload)
         if n_pages <= CHUNK_THRESHOLD_PAGES:
-            rec = extract_pdf(payload)
-            rec["n_chunks"] = 1
-            return rec
+            return extract_pdf(payload)
         chunk_texts: list[str] = []
         chunk_flats: list[str] = []
         warnings: list[str] = []
@@ -149,7 +147,6 @@ class DocumentExtractor:
             return {
                 "text": None, "spans": [], "confidence": 0.0, "n_blocks": 0,
                 "warnings": warnings, "error": error, "flat_text": "",
-                "n_chunks": 0,
             }
         text = "\n\n".join(chunk_texts)
         spans = []
@@ -164,8 +161,10 @@ class DocumentExtractor:
             "confidence": _rc(0.9 if text else 0.0),
             "n_blocks": (text.count("\n\n") + 1) if text else 0,
             "warnings": warnings, "error": None,
+            # chunk count deliberately NOT surfaced here: __call__ never
+            # emits it and the user-facing n_chunks column is merge.py's
+            # (review finding: a dead rec key misled readers)
             "flat_text": "\n".join(chunk_flats),
-            "n_chunks": len(chunk_texts),
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -210,6 +210,12 @@ class AudioFeatures:
             out["media_id"].append(mid)
             try:
                 rate, data = _decode_audio(payload)
+                if rate <= 0 or len(data) == 0:
+                    # structurally valid header, degenerate content: a
+                    # ZeroDivisionError below would kill the TASK, not the
+                    # row — failure-is-data (review finding)
+                    raise ValueError(
+                        f"degenerate audio: rate={rate} n={len(data)}")
                 # exact integer sum of squares -> float64 mean: matches the
                 # SQL oracle's avg(c*c) bit-for-bit; shared half-away rounding
                 sq = int(((data.astype(np.int64) - 128) ** 2).sum())

@@ -131,10 +131,14 @@ class _ContentLexer:
                 if nxt in self._ESCAPES:
                     out.append(self._ESCAPES[nxt])
                     self.pos += 2
-                elif nxt.isdigit():  # octal up to 3 digits
+                elif nxt in b"01234567":  # octal up to 3 OCTAL digits —
+                    # \8 / \9 are not octal (bytes.isdigit matched them and
+                    # int(_, 8) raised, demoting the whole doc to an error
+                    # record; PDF spec: drop the backslash — review finding)
                     j = self.pos + 1
                     oct_digits = b""
-                    while j < n and len(oct_digits) < 3 and d[j:j + 1].isdigit():
+                    while (j < n and len(oct_digits) < 3
+                           and d[j:j + 1] in b"01234567"):
                         oct_digits += d[j:j + 1]
                         j += 1
                     out.append(chr(int(oct_digits, 8)))
@@ -436,5 +440,7 @@ def _error_record(msg: str) -> dict:
 
 def page_count(payload: bytes) -> int:
     """Count /Type /Page objects (reference get_page_count,
-    pdf_service.py:148-179, via pdfinfo — here a lexical count)."""
-    return len(re.findall(rb"/Type\s*/Page[^s]", payload))
+    pdf_service.py:148-179, via pdfinfo — here a lexical count).
+    Negative lookahead, not ``[^s]``: a char class CONSUMES a byte, so
+    '/Type /Page' at end-of-buffer went uncounted (review finding)."""
+    return len(re.findall(rb"/Type\s*/Page(?!s)", payload))

@@ -102,10 +102,16 @@ def knn_multiquery(
     matrix; the shuffle carries M*k partial rows per batch, never vectors).
 
     Returns (query_id, vec_id, cos) with k rows per query, ordered by
-    rounded cos desc then vec_id (the oracle's exact tie-break)."""
+    rounded cos desc then vec_id (the oracle's exact tie-break).
+
+    ``exclude_self`` only applies when the caller supplies ``query_ids``
+    (i.e. the queries ARE corpus rows): with synthesized 0..M-1 ids,
+    excluding vid == qid would wrongly drop unrelated corpus vectors
+    0..M-1 from external-query results (review finding)."""
     Q = _normalize(np.asarray(queries, dtype=np.float64))
     qids = np.asarray(query_ids if query_ids is not None else range(len(Q)),
                       dtype=np.int64)
+    exclude_self = exclude_self and query_ids is not None
     q_ref = ray.put((Q, qids))
 
     def local_topk(batch: pa.Table) -> pa.Table:

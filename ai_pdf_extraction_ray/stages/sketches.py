@@ -325,13 +325,28 @@ def approx_quantiles_hist(
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_type", "value"])
+    _schema = pa.schema(
+        [("event_type", pa.string()), ("n", pa.int64())]
+        + [(f"p{int(q * 100)}_approx", pa.float64()) for q in qs])
     mm = ds.aggregate(_Min("value"), _Max("value"))
+    if mm is None or mm.get("min(value)") is None:
+        # empty input: aggregate yields None values; float(None) raised
+        # before (review finding)
+        return rd.from_arrow(_schema.empty_table())
     mn, mx = float(mm["min(value)"]), float(mm["max(value)"])
     width = (mx - mn) / float(nbins)
 
     def partial(b: pa.Table) -> pa.Table:
+        # drop NULL values (SQL aggregate semantics); without this a NaN
+        # rides (v-mn)/width into int64 garbage bins (review finding)
+        b = b.filter(pc.is_valid(b.column("value")))
         v = b.column("value").to_numpy(zero_copy_only=False)
-        bins = np.minimum(np.floor((v - mn) / width), nbins - 1).astype(np.int64)
+        if width == 0.0:
+            # degenerate range (all values equal): one bin, exact result
+            bins = np.zeros(len(v), dtype=np.int64)
+        else:
+            bins = np.minimum(np.floor((v - mn) / width),
+                              nbins - 1).astype(np.int64)
         t = pa.table({"event_type": b.column("event_type"), "bin": bins})
         return t.group_by(["event_type", "bin"]).aggregate([("bin", "count")])
 
@@ -354,9 +369,4 @@ def approx_quantiles_hist(
         return pd.DataFrame(row)
 
     out = agg.groupby("event_type").map_groups(cdf_walk, batch_format="pandas")
-    return out.map_batches(
-        lambda b: b.cast(pa.schema(
-            [("event_type", pa.string()), ("n", pa.int64())]
-            + [(f"p{int(q * 100)}_approx", pa.float64()) for q in qs])),
-        batch_format="pyarrow",
-    )
+    return out.map_batches(lambda b: b.cast(_schema), batch_format="pyarrow")

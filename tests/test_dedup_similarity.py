@@ -445,6 +445,23 @@ class TestMultiQuery:
             assert sub.vec_id.tolist() == expect.vec_id.tolist(), qid
             assert np.allclose(sub.cos.to_numpy(), expect.cos.to_numpy())
 
+    def test_external_queries_do_not_self_exclude(self, ray_session):
+        """With synthesized 0..M-1 query ids (queries NOT corpus rows),
+        exclude_self must be inert: corpus vec_ids 0..M-1 were wrongly
+        dropped from results before (review finding) — vector 0's own
+        perfect match (cos 1.0, vec_id 0) proves inclusion."""
+        import pyarrow.parquet as pq
+
+        from ai_pdf_extraction_ray.stages.similarity import knn_multiquery
+
+        emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+        X = np.stack(emb.embedding.values).astype(np.float64)
+        got = knn_multiquery(SF, X[:2], k=3)   # no query_ids supplied
+        top = got[got.query_id == 0].iloc[0]
+        assert top.vec_id == 0 and top.cos == 1.0
+        top1 = got[got.query_id == 1].iloc[0]
+        assert top1.vec_id == 1 and top1.cos == 1.0
+
 
 class TestEmbeddingLsh:
     def test_planted_duplicates_found(self, ray_session, tmp_path):
@@ -629,6 +646,11 @@ class TestSimHashChunking:
         texts = [" ".join(f"t{i}_{j}" for j in range(50 + i % 37))
                  for i in range(40)]
         texts += ["", "one", "a b"]
+        # one document many times the forced block size: the segmented
+        # single-doc path (_vote_large) must produce the identical
+        # signature (review finding: the first-doc admission clause let a
+        # single long doc bypass the memory cap entirely)
+        texts += [" ".join(f"big{j}" for j in range(1000))]
         ref = D._simhash_batch(texts)
         monkeypatch.setattr(D, "_SIMHASH_CHUNK", 64)  # force tiny blocks
         assert np.array_equal(ref, D._simhash_batch(texts))

@@ -150,6 +150,22 @@ class TestPdfExtractor:
     def test_page_count(self):
         assert page_count(build_pdf(1, "hi")) == 1
 
+    def test_page_count_at_end_of_buffer(self):
+        """'/Type /Page' abutting end-of-buffer must still count — the old
+        [^s] class CONSUMED a byte, so it required one more character
+        (review finding); /Pages must still be excluded."""
+        assert page_count(b"%PDF-1.4 /Type /Page") == 1
+        assert page_count(b"/Type /Pages /Type /Page x /Type/Page") == 2
+
+    def test_non_octal_digit_escapes_drop_backslash(self):
+        r"""\8 and \9 are not octal: per spec the backslash drops and the
+        digit survives; the old bytes.isdigit() check fed int(_, 8) and
+        demoted the whole document to an error record (review finding)."""
+        content = rb"BT /F1 12 Tf 72 720 Td (a\9b \812) Tj ET"
+        rec = extract_pdf(_raw_pdf(content))
+        assert rec["error"] is None
+        assert rec["text"] == "a9b 812"
+
 
 class TestCorpusRoundTrip:
     """The golden gate: byte-identical extracted text per url (north rule)."""

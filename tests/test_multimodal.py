@@ -115,3 +115,27 @@ class TestPipelines:
         df = video_frames("/root/testdata/sf0.001", stride=5).to_pandas()
         assert df.media_id.nunique() == 166  # doc_id % 3 == 2
         assert (df.frame_index % 5 == 0).all()
+
+
+class TestDegenerateAudio:
+    def test_zero_rate_or_empty_becomes_error_row(self):
+        """A structurally valid SAUD header with rate=0 / n=0 must yield an
+        error ROW, not a ZeroDivisionError task crash (failure-is-data —
+        review finding)."""
+        import struct
+
+        import pyarrow as pa
+
+        from ai_pdf_extraction_ray.stages.multimodal import AudioFeatures
+
+        t = pa.table({
+            "media_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array([
+                b"SAUD" + struct.pack("<II", 0, 0),
+                encode_audio(seed=3, sample_rate=8000, n_samples=100),
+            ], pa.binary()),
+        })
+        rows = AudioFeatures()(t).to_pylist()
+        assert rows[0]["error"].startswith("degenerate audio")
+        assert rows[0]["rms"] is None
+        assert rows[1]["error"] is None  # healthy row unaffected
