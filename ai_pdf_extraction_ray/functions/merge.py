@@ -25,6 +25,7 @@ function (SURVEY §7.4 hard part #6: preserve chunk order inside groups).
 from __future__ import annotations
 
 import json
+import math
 from typing import Any
 
 import pandas as pd
@@ -79,7 +80,11 @@ def merge_extraction_chunks(
         if vals:
             field_conf[name] = round(sum(vals) / len(vals), 3)
 
-    valid = [c for c in chunk_confidences if c is not None]
+    # NaN-aware, not just None-aware: the map_groups path hands Arrow
+    # nulls over as pandas NaN, which passed `is not None` and poisoned
+    # the mean to NaN -> clamp 0.0 (review finding)
+    valid = [c for c in chunk_confidences
+             if c is not None and not (isinstance(c, float) and math.isnan(c))]
     confidence = round_confidence(sum(valid) / len(valid)) if valid else 0.0
 
     # warnings recomputed post-merge only

@@ -42,6 +42,18 @@ assert set(_ALLOWED_FUNCS) == set(_SCHEMA_FUNC_NAMES), (
     set(_ALLOWED_FUNCS) ^ set(_SCHEMA_FUNC_NAMES)
 )
 
+# simpleeval-style power guard (the library this module replaces enforces
+# MAX_POWER; without it `10**10**10` allocates a multi-GB integer inside a
+# map_batches worker before any exception can fire — review finding)
+_MAX_POW_OPERAND = 4_000_000
+
+
+def _safe_pow(a, b):  # noqa: ANN001, ANN202
+    if abs(a) > _MAX_POW_OPERAND or abs(b) > _MAX_POW_OPERAND:
+        raise UnsafeExpression(f"power operands too large: {a!r} ** {b!r}")
+    return a ** b
+
+
 _BINOPS = {
     ast.Add: lambda a, b: a + b,
     ast.Sub: lambda a, b: a - b,
@@ -49,7 +61,7 @@ _BINOPS = {
     ast.Div: lambda a, b: a / b,
     ast.FloorDiv: lambda a, b: a // b,
     ast.Mod: lambda a, b: a % b,
-    ast.Pow: lambda a, b: a ** b,
+    ast.Pow: _safe_pow,
 }
 
 

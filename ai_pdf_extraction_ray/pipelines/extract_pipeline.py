@@ -26,6 +26,7 @@ from __future__ import annotations
 import time
 from typing import Any
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -137,11 +138,16 @@ def repartition_by_host(ds: Dataset, num_partitions: int) -> Dataset:
     host across hash space only when callers key by (host, url). This is one
     of THE two sanctioned shuffles (SURVEY.md §7.2 step 7)."""
     def add_bucket(batch: pa.Table) -> pa.Table:
-        import zlib as _z
+        # vectorized url-prefix hash (one buffer pass), not a per-row
+        # crc32 loop — this is a sanctioned FULL-TABLE shuffle path, the
+        # exact per-row-Python family the round-2 review banned elsewhere
+        from ..functions.fasthash import hash64_strs
 
         hosts = batch.column("host").to_pylist()
-        buckets = [_z.crc32(h.encode()) % num_partitions for h in hosts]
-        return batch.append_column("host_bucket", pa.array(buckets, pa.int64()))
+        buckets = (hash64_strs(hosts) % np.uint64(num_partitions)).astype(
+            np.int64) if hosts else np.empty(0, dtype=np.int64)
+        return batch.append_column("host_bucket",
+                                   pa.array(buckets, pa.int64()))
 
     # groupby + identity map_groups = portable key-based co-location (every
     # output block holds exactly one host_bucket). Dataset.repartition(keys=)
@@ -187,6 +193,11 @@ def run_metrics(extractions: Dataset) -> dict[str, Any]:
             Mean("confidence", alias_name="average_confidence"),
         )
     )
+    if agg is None or agg.get("total_documents") in (None, 0):
+        # Dataset.aggregate returns None on empty input (documented
+        # hazard); subscripting it raised TypeError (review finding)
+        return {"total_documents": 0, "successful_documents": 0,
+                "failed_documents": 0, "average_confidence": 0.0}
     agg["average_confidence"] = round(float(agg["average_confidence"]), 3)
     return agg
 

@@ -93,9 +93,14 @@ def _splitmix_hv_sql(expr: str) -> str:
 
 # top-byte split thresholds/ranges shared with pipelines/curate.py
 def _split_case_sql(expr: str) -> str:
+    # thresholds imported, not restated: the ONE split rule lives in
+    # curate.py; a literal here would silently drift from the engine if
+    # the fractions were ever retuned (review finding)
+    from .curate import _SPLIT_TRAIN_LT, _SPLIT_VAL_LT
+
     hv = _splitmix_hv_sql(expr)
-    return (f"CASE WHEN ({hv}) >> 56 < 230 THEN 'train' "
-            f"WHEN ({hv}) >> 56 < 243 THEN 'val' ELSE 'test' END")
+    return (f"CASE WHEN ({hv}) >> 56 < {_SPLIT_TRAIN_LT} THEN 'train' "
+            f"WHEN ({hv}) >> 56 < {_SPLIT_VAL_LT} THEN 'val' ELSE 'test' END")
 
 
 def _events(sf_dir: str, columns: list[str] | None = None) -> Dataset:
@@ -2830,32 +2835,41 @@ def q_passage_dedup(sf_dir: str) -> Dataset:
     earlier in corpus order (doc_id, window index) is flagged. Per doc:
     passage count, duplicated-passage count, duplicate fraction.
 
-    Scale shape: docs explode to (passage-digest, rank) rows — the shuffle
-    carries 16-byte digests, never text (exact_dedup's discipline);
-    groupby(digest) min-rank finds first occurrences; a hash join + per-doc
-    partial aggregate reduce to one row per doc. Rank packs (doc_id, seg)
-    into one int64 (doc_id < 2^42, passages/doc < 2^21 — 40M tokens/doc)."""
-    import hashlib as _hl
-
+    Scale shape: docs explode to (passage-digest128, rank) rows — the
+    shuffle carries 16-byte digests, never text (exact_dedup's
+    discipline), and passage hashing is the vectorized polynomial span
+    kernel, not a per-passage md5/join loop (review finding; the digest
+    never reaches the output, so the oracle's md5 grouping is matched by
+    any collision-free digest); groupby(digest) min-rank finds first
+    occurrences; a hash join + per-doc partial aggregate reduce to one
+    row per doc. Rank packs (doc_id, seg) into one int64 (doc_id < 2^42,
+    passages/doc < 2^21 — 40M tokens/doc)."""
+    from ..functions.fasthash import _POLY1, _POLY2, token_spans
     from ..stages.dedup import _join_partitions, nonempty_blocks
 
     docs = _docs(sf_dir, ["doc_id", "text"])
 
     def explode(b: pa.Table) -> pa.Table:
-        out_rank, out_dig = [], []
+        cols = {"rank": [], "dh": [], "dl": []}
         for d, t in zip(b.column("doc_id").to_pylist(),
                         b.column("text").to_pylist()):
-            toks = _TOKEN_RE.findall((t or "").lower())
-            n_seg = max(1, -(-len(toks) // PASSAGE_WORDS))
-            for s in range(1, n_seg + 1):
-                seg_text = " ".join(
-                    toks[(s - 1) * PASSAGE_WORDS: s * PASSAGE_WORDS])
-                out_rank.append((d << _PASSAGE_SHIFT) | s)
-                out_dig.append(_hl.md5(seg_text.encode()).digest())
-        # 16-byte binary digests, not 32-char hex: halves the shuffle key
-        # payload; the digest never reaches the output on either side
-        return pa.table({"rank": pa.array(out_rank, pa.int64()),
-                         "digest": pa.array(out_dig, pa.binary())})
+            data, starts, ends = token_spans(t or "")
+            n = len(starts)
+            n_seg = max(1, -(-n // PASSAGE_WORDS))
+            if n == 0:
+                w_starts = np.zeros(1, dtype=np.int64)
+                w_ends = np.zeros(1, dtype=np.int64)
+            else:
+                idx = np.arange(n_seg, dtype=np.int64) * PASSAGE_WORDS
+                w_starts = starts[idx]
+                w_ends = ends[np.minimum(idx + PASSAGE_WORDS, n) - 1]
+            cols["rank"].extend(
+                (d << _PASSAGE_SHIFT) | np.arange(1, n_seg + 1, dtype=np.int64))
+            cols["dh"].extend(
+                _POLY1.span_hashes(data, w_starts, w_ends).view(np.int64))
+            cols["dl"].extend(
+                _POLY2.span_hashes(data, w_starts, w_ends).view(np.int64))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()})
 
     seg = docs.map_batches(explode, batch_format="pyarrow").materialize()
     n_seg_rows = seg.count()
@@ -2865,11 +2879,11 @@ def q_passage_dedup(sf_dir: str) -> Dataset:
                       "dup_frac": pa.array([], pa.float64())})
     if n_seg_rows == 0:
         return rd.from_arrow(empty)
-    winners = seg.groupby("digest").aggregate(
+    winners = seg.groupby(["dh", "dl"]).aggregate(
         Min("rank", alias_name="first_rank")).materialize()
     joined = nonempty_blocks(seg, n_seg_rows).join(
         nonempty_blocks(winners, winners.count()), join_type="inner",
-        num_partitions=_join_partitions(), on=("digest",),
+        num_partitions=_join_partitions(), on=("dh", "dl"),
     )
 
     def per_doc_partial(b: pa.Table) -> pa.Table:
@@ -2914,35 +2928,44 @@ def q_dup_spans(sf_dir: str) -> Dataset:
     (doc_id, span_start, span_end) — the intervals an excision pass would
     cut. Also the catalog's gaps-and-islands/interval-merge primitive.
 
-    Scale shape: windows shuffle as 16-byte digests + packed int64 ranks
-    (never text); the digest groupby carries a count, so only digests with
-    n >= 2 — the duplicated population, orders of magnitude below the
-    corpus — enter the hash join; the interval merge runs per doc over
-    that doc's duplicate windows only (<= tokens/stride rows)."""
-    import hashlib as _hl
-
+    Scale shape: windows shuffle as 128-bit digests + packed int64 ranks
+    (never text); window hashing is the vectorized polynomial span kernel
+    over each doc's token buffer — no per-window md5/join loop (review
+    finding; equality classes match the oracle's md5 windows, which is
+    all the grouping uses). The digest groupby carries a count, so only
+    digests with n >= 2 — the duplicated population, orders of magnitude
+    below the corpus — enter the hash join; the interval merge runs per
+    doc over that doc's duplicate windows only (<= tokens/stride rows)."""
+    from ..functions.fasthash import _POLY1, _POLY2, token_spans
     from ..stages.dedup import _join_partitions, nonempty_blocks
 
     docs = _docs(sf_dir, ["doc_id", "text"])
     W, S = DUP_WIN_WORDS, DUP_WIN_STRIDE
 
     def explode(b: pa.Table) -> pa.Table:
-        out_rank, out_dig, out_e = [], [], []
+        cols = {"rank": [], "dh": [], "dl": [], "e": []}
         for d, t in zip(b.column("doc_id").to_pylist(),
                         b.column("text").to_pylist()):
-            toks = _TOKEN_RE.findall((t or "").lower())
-            n = len(toks)
+            data, starts, ends = token_spans(t or "")
+            n = len(starts)
             n_win = max(1, -(-(n - (W - 1)) // S))
-            for w in range(1, n_win + 1):
-                s = (w - 1) * S
-                out_rank.append((d << _PASSAGE_SHIFT) | w)
-                out_dig.append(_hl.md5(
-                    " ".join(toks[s:s + W]).encode()).digest())
-                out_e.append(min(s + W, n))
-        # 16-byte binary digests (not hex) — internal shuffle key only
-        return pa.table({"rank": pa.array(out_rank, pa.int64()),
-                         "digest": pa.array(out_dig, pa.binary()),
-                         "e": pa.array(out_e, pa.int64())})
+            if n == 0:
+                w_starts = np.zeros(1, dtype=np.int64)
+                w_ends = np.zeros(1, dtype=np.int64)
+                e_arr = np.zeros(1, dtype=np.int64)
+            else:
+                idx = np.arange(n_win, dtype=np.int64) * S
+                w_starts = starts[idx]
+                e_arr = np.minimum(idx + W, n)
+                w_ends = ends[e_arr - 1]
+            cols["rank"].extend(
+                (d << _PASSAGE_SHIFT) | np.arange(1, n_win + 1, dtype=np.int64))
+            cols["dh"].extend(
+                _POLY1.span_hashes(data, w_starts, w_ends).view(np.int64))
+            cols["dl"].extend(
+                _POLY2.span_hashes(data, w_starts, w_ends).view(np.int64))
+            cols["e"].extend(e_arr)
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()})
 
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
                       "span_start": pa.array([], pa.int64()),
@@ -2953,7 +2976,7 @@ def q_dup_spans(sf_dir: str) -> Dataset:
         return rd.from_arrow(empty)
     # only digests seen >= 2 times can produce a duplicate span: the join's
     # build side shrinks to the duplicated population before any row moves
-    hot = (wins.groupby("digest")
+    hot = (wins.groupby(["dh", "dl"])
            .aggregate(Min("rank", alias_name="first_rank"),
                       Count(alias_name="n_occ"))
            .filter(expr="n_occ >= 2")
@@ -2964,7 +2987,7 @@ def q_dup_spans(sf_dir: str) -> Dataset:
         return rd.from_arrow(empty)
     joined = nonempty_blocks(wins, n_wins).join(
         nonempty_blocks(hot, n_hot), join_type="inner",
-        num_partitions=_join_partitions(), on=("digest",),
+        num_partitions=_join_partitions(), on=("dh", "dl"),
     )
 
     def dup_rows(b: pa.Table) -> pa.Table:

@@ -295,10 +295,13 @@ class TestHostPartitionedSink:
         assert back.count() == 200
         # a partition dir only contains its bucket's hosts
         one = rd.read_parquet(os.path.join(out, parts[0])).to_pandas()
-        import zlib
+        import numpy as np
+
+        from ai_pdf_extraction_ray.functions.fasthash import hash64_strs
 
         bucket = int(parts[0].split("=")[1])
-        assert all(zlib.crc32(h.encode()) % 8 == bucket for h in one.host.unique())
+        hosts = list(one.host.unique())
+        assert (hash64_strs(hosts) % np.uint64(8) == bucket).all()
 
 
 class TestFileIngestion:
