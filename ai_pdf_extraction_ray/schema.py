@@ -44,8 +44,13 @@ class FieldType(str, Enum):
 
 
 _NAME_ALLOWED = re.compile(r"^[a-z0-9_]+$")
-# reference models.py:132-156 — rule must look like `name == <arith expr>`
-_RULE_SHAPE = re.compile(r"^[a-z_][a-z0-9_]*\s*==\s*[\w\s+\-*/().,]+$")
+# reference models.py:132-156 — rule must look like `name == <arith expr>`.
+# ASCII classes only: \w is Unicode in Python, which admitted identifiers
+# (e.g. 'café') the ASCII _IDENT harvest could not see — the rule then
+# passed the reference check but skip-passed forever at evaluation
+# (review finding)
+_RULE_SHAPE = re.compile(
+    r"^[a-z_][a-z0-9_]*\s*==\s*[A-Za-z0-9_\s+\-*/().,]+$")
 _IDENT = re.compile(r"\b[a-zA-Z_][a-zA-Z0-9_]*\b")
 
 _PY_KEYWORDS = {
@@ -159,7 +164,9 @@ class SchemaDefinition:
             version=d.get("version", "1.0"),
             fields=[FieldDefinition(
                 name=f["name"],
-                type=FieldType(f.get("type", "string")),
+                # lowercase like FieldDefinition.__post_init__, so both
+                # construction paths accept the same type strings
+                type=FieldType(str(f.get("type", "string")).lower()),
                 description=f.get("description", ""),
                 required=bool(f.get("required", False)),
             ) for f in d["fields"]],
@@ -180,8 +187,20 @@ def filter_rules(rules: list[str], schema_field_names: set[str]) -> list[str]:
         rule = rule.strip()
         if not rule or not _RULE_SHAPE.match(rule):
             continue
-        refs = extract_rule_identifiers(rule)
-        if refs and not refs.issubset(schema_field_names):
+        # the LHS must BE a schema field: an allowed-function name there
+        # ('sum == subtotal + tax') is exempt from the identifier harvest,
+        # so the rule would survive yet skip-pass on every document
+        # (review finding)
+        lhs = rule.split("==", 1)[0].strip().lower()
+        if lhs not in schema_field_names:
+            continue
+        # case-insensitive reference check, matching the evaluator's
+        # lowercased harvest (field names are coerced to lowercase; rules
+        # written with the user's original capitalization were silently
+        # dropped — review finding). The empty-refs special case was dead
+        # logic (the empty set is a subset of everything).
+        refs = {r.lower() for r in extract_rule_identifiers(rule)}
+        if not refs.issubset(schema_field_names):
             continue
         kept.append(rule)
     return kept

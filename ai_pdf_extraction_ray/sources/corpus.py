@@ -247,20 +247,21 @@ def _page_content(lines: list[str]) -> bytes:
 
 
 def build_pdf(doc_id: int, text: str) -> bytes:
-    """Minimal valid PDF: one page, Flate content stream, scrambled line order.
-
-    Only safe when ``' '.join(wrap(text)) == text`` (single-spaced input);
-    falls back to a single line otherwise.
-    """
-    lines = _wrap_words(text)
-    if " ".join(lines) != text:
-        lines = [text]
-    return build_pdf_pages([lines], doc_id)
+    """Minimal valid PDF: one page, Flate content stream, scrambled line
+    order. ``' '.join(wrap(text)) == text`` holds for EVERY string
+    (str.split(' ') round-trips losslessly, empty words included), so the
+    extracted text equals the input — the former fallback branch for a
+    failed round-trip was unreachable (review finding). Caveat: the
+    content stream is latin-1 with errors='replace'; non-latin-1 input
+    breaks the identity (the pages synthesizer pre-replaces its ground
+    truth for exactly this reason, synthesize_pages_batch below)."""
+    return build_pdf_pages([_wrap_words(text)], doc_id)
 
 
 def build_multipage_pdf(doc_id: int, page_paragraphs: list[str]) -> bytes:
     """One paragraph per page; expected extracted text =
-    ``"\\n\\n".join(page_paragraphs)`` (per-page assembly contract)."""
+    ``"\\n\\n".join(page_paragraphs)`` (per-page assembly contract).
+    Same latin-1 caveat as build_pdf."""
     return build_pdf_pages([_wrap_words(p) or [p] for p in page_paragraphs], doc_id)
 
 

@@ -7,7 +7,14 @@ Ray-native equivalent: ``ray.data.read_binary_files(include_paths=True)``
 streams (path, bytes) pairs; a vectorized validation stage applies the
 same reject rules as failure ROWS; the result binds to the canonical
 pages schema (``url`` = ``file://`` path, ``warc_ts`` = caller-supplied
-fixed timestamp — no wall clock) and feeds ``run_extraction`` unchanged.
+fixed timestamp — no wall clock).
+
+IMPORTANT: ``run_extraction`` neither reads nor propagates
+``ingest_error`` (its output schema has its own ``error`` column) —
+feeding the RAW ingest result into extraction would extract rejected
+payloads as if valid and drop the audit trail (review finding). Split
+first with ``partition_ingest``: extract the clean side, sink the error
+side.
 """
 
 from __future__ import annotations
@@ -15,6 +22,7 @@ from __future__ import annotations
 from datetime import datetime
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 from ray.data import Dataset
@@ -33,7 +41,8 @@ def ingest_files(
 
     Rows for rejected files (wrong extension, empty payload) carry an
     ``ingest_error`` column instead of being dropped — the audit trail the
-    reference returns as HTTP 400s becomes data here.
+    reference returns as HTTP 400s becomes data here. Route through
+    ``partition_ingest`` before extraction (see module docstring).
     """
     ds = rd.read_binary_files(path, include_paths=True)
 
@@ -44,7 +53,9 @@ def ingest_files(
         for p, b in zip(paths, payloads):
             low = p.lower()
             if not low.endswith(allowed_extensions):
-                errors.append(f"unsupported extension: {p.rsplit('.', 1)[-1]}")
+                ext = (p.rsplit(".", 1)[-1] if "." in p.rsplit("/", 1)[-1]
+                       else "(none)")
+                errors.append(f"unsupported extension: {ext}")
             elif not b:
                 errors.append("empty file")
             else:
@@ -59,3 +70,21 @@ def ingest_files(
         })
 
     return ds.map_batches(bind, batch_format="pyarrow")
+
+
+def partition_ingest(ds: Dataset) -> tuple[Dataset, Dataset]:
+    """Split an ingest result into (extractable, rejected).
+
+    The extractable side drops ``ingest_error`` (clean pages schema for
+    ``run_extraction``); the rejected side keeps url + ingest_error and
+    drops the payload (an audit sink needs the reason, not the bytes).
+    """
+    ok = ds.map_batches(
+        lambda b: b.filter(pc.is_null(b.column("ingest_error")))
+        .drop_columns(["ingest_error"]),
+        batch_format="pyarrow")
+    bad = ds.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("ingest_error")))
+        .select(["url", "ingest_error"]),
+        batch_format="pyarrow")
+    return ok, bad

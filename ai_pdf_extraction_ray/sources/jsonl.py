@@ -64,7 +64,12 @@ def _normalize_file(t: pa.Table, path: str, default_source: str) -> pa.Table:
         err = None
         if not isinstance(txt, str) or not txt:
             err, txt = "empty_or_missing_text", ""
-        if i is None:
+        if not (isinstance(i, int) and not isinstance(i, bool)):
+            if i is not None:
+                # a string/object doc_id crashed the whole task via int()
+                # before (review finding) — keep the record, derive a
+                # stable id, and make the bad id auditable
+                err = err or f"invalid_doc_id: {str(i)[:60]}"
             digest = hashlib.md5(f"{path}\x00{row}".encode()).digest()
             i = int.from_bytes(digest[:8], "little") >> 1  # stable, >= 0
         out_id.append(int(i))

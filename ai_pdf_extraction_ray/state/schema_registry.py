@@ -50,14 +50,20 @@ def list_schemas(registry_dir: str) -> pd.DataFrame:
         for fn in sorted(os.listdir(registry_dir)):
             if not fn.endswith(".json"):
                 continue
-            with open(os.path.join(registry_dir, fn)) as f:
-                doc = json.load(f)
-            rows.append({
-                "name": doc["name"],
-                "version": doc["version"],
-                "n_fields": int(doc["n_fields"]),
-                "created_at": doc["created_at"],
-            })
+            try:
+                with open(os.path.join(registry_dir, fn)) as f:
+                    doc = json.load(f)
+                rows.append({
+                    "name": doc["name"],
+                    "version": doc["version"],
+                    "n_fields": int(doc["n_fields"]),
+                    "created_at": doc["created_at"],
+                })
+            except (OSError, ValueError, KeyError, TypeError):
+                # foreign/truncated/malformed .json in the registry dir
+                # must not break listing for every schema — the same
+                # tolerance manifest.py applies (review finding)
+                continue
     df = pd.DataFrame(rows, columns=["name", "version", "n_fields", "created_at"])
     df["n_fields"] = df["n_fields"].astype("int64")
     return (df.sort_values(["created_at", "name"], ascending=[False, True])

@@ -114,3 +114,25 @@ class TestDerivedIdDistinctness:
         self._write(p, [{"text": "t", "lang": "en"}, {"text": "t", "lang": "fr"}])
         df = read_jsonl_corpus(str(p)).to_pandas()
         assert df["doc_id"].nunique() == 2
+
+    def test_non_numeric_doc_id_is_auditable_not_fatal(self, tmp_path):
+        """A record with a string doc_id must keep its text, get a derived
+        id, and carry an invalid_doc_id error row — int() on it killed the
+        whole task before (review finding)."""
+        from ai_pdf_extraction_ray.sources.jsonl import read_jsonl_corpus
+
+        p = tmp_path / "c.jsonl"
+        # uniformly string-typed ids: Arrow parses the column as string
+        # (a MIXED id column fails the whole-file parse and correctly
+        # takes the malformed_json lane instead)
+        self._write(p, [
+            {"doc_id": "a1", "text": "string id record"},
+            {"doc_id": "a2", "text": "another"},
+        ])
+        df = (read_jsonl_corpus(str(p)).to_pandas()
+              .sort_values("ingest_error").reset_index(drop=True))
+        assert len(df) == 2
+        assert (df.ingest_error.str.startswith("invalid_doc_id: a")).all()
+        assert set(df.text) == {"string id record", "another"}
+        assert (df.doc_id >= 0).all()
+        assert df.doc_id.nunique() == 2

@@ -324,16 +324,20 @@ class TestFileIngestion:
         assert errs[f"file://{tmp_path}/d.html"] == "empty file"
         assert errs[f"file://{tmp_path}/a.html"] is None
 
-        # valid rows flow through the normal extraction pipeline unchanged
-        import pyarrow as pa
+        # the sanctioned split: extract the clean side, audit the rest
+        # (run_extraction does not read ingest_error — review finding)
+        from ai_pdf_extraction_ray.sources.files import partition_ingest
 
-        ok = pages.map_batches(
-            lambda b: b.filter(pa.compute.is_null(b.column("ingest_error"))),
-            batch_format="pyarrow",
-        )
+        ok, bad = partition_ingest(pages)
+        assert "ingest_error" not in ok.schema().names
+        bad_df = bad.to_pandas()
+        assert set(bad_df.columns) == {"url", "ingest_error"}
+        assert bad_df.ingest_error.notna().all()
         out = run_extraction(ok, concurrency=2).to_pandas().set_index("url")
         assert out.loc[f"file://{tmp_path}/a.html", "text"] == "file lane html content"
         assert out.loc[f"file://{tmp_path}/b.pdf", "text"] == "file lane pdf content"
+        # rejected files never reach extraction
+        assert not any(u.endswith(("c.exe", "d.html")) for u in out.index)
 
 
 class TestRepairFlag:

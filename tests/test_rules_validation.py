@@ -363,3 +363,47 @@ class TestLegacyRuleParser:
             {"total": 200.0, "subtotal": 100.0, "tax": 10.0},
         )
         assert not bad and "Math validation failed" in msg
+
+
+class TestFilterRulesParity:
+    """filter_rules must agree with the evaluator about identifiers
+    (review findings: case-sensitivity, allowed-func LHS, unicode \\w)."""
+
+    def test_mixed_case_references_are_kept(self):
+        from ai_pdf_extraction_ray.schema import filter_rules
+
+        kept = filter_rules(["total == Subtotal + Tax"],
+                            {"total", "subtotal", "tax"})
+        assert kept == ["total == Subtotal + Tax"]
+
+    def test_allowed_function_lhs_is_dropped(self):
+        from ai_pdf_extraction_ray.schema import filter_rules
+
+        # 'sum' is exempt from the identifier harvest, so the old filter
+        # kept this rule even though it can never evaluate
+        assert filter_rules(["sum == subtotal + tax"],
+                            {"subtotal", "tax"}) == []
+
+    def test_non_ascii_identifier_is_dropped(self):
+        from ai_pdf_extraction_ray.schema import filter_rules
+
+        # unicode \w admitted 'café' past the shape check while the ASCII
+        # harvest could not see it -> permanently inert rule
+        assert filter_rules(["total == café + 1"], {"total"}) == []
+
+    def test_registry_listing_tolerates_foreign_json(self, tmp_path):
+        import json as _json
+
+        from ai_pdf_extraction_ray.state.schema_registry import (
+            list_schemas,
+            save_schema,
+        )
+        from ai_pdf_extraction_ray.schema import SchemaDefinition
+
+        sch = SchemaDefinition(
+            name="inv", fields=[{"name": "total", "type": "currency"}])
+        save_schema(str(tmp_path), sch, created_at="2024-01-01T00:00:00")
+        (tmp_path / "notes.json").write_text(_json.dumps({"foo": 1}))
+        (tmp_path / "trunc.json").write_text('{"name": "x"')
+        df = list_schemas(str(tmp_path))
+        assert list(df["name"]) == ["inv"]
