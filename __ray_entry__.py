@@ -57,5 +57,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         name: spec["sql"]
         for name, spec in QUERIES.items()
-        if spec.get("sql") is not None
+        # truthiness, not `is not None`: a missing golden falls back to ""
+        # in a couple of entries, and an empty-string oracle must become a
+        # rows-only check, not a DuckDB parse error (review finding)
+        if spec.get("sql")
     }

@@ -32,6 +32,13 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# Ray workers import the kernels by module reference and do NOT inherit the
+# driver's sys.path — export the repo on PYTHONPATH BEFORE ray.init so the
+# bench is cwd-independent (review finding; same note as __ray_entry__.py)
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+os.environ["PYTHONPATH"] = (
+    _REPO_DIR + os.pathsep + os.environ["PYTHONPATH"]
+    if os.environ.get("PYTHONPATH") else _REPO_DIR)
 # corpus replication for the headline run: scales work volume so steady-state
 # throughput dominates fixed startup (urls repeat across replicas; extraction
 # is per-row so throughput semantics are unchanged). Default 120 (600k docs
@@ -144,20 +151,18 @@ def run_bench() -> dict:
     # html bytes processed (payload volume through the extractor)
     written = pq.read_table(out_dir, columns=["url"])
     assert written.num_rows == n_docs, (written.num_rows, n_docs)
-    import pyarrow.compute as pc  # noqa: F401
-
-    # payload volume: synth again cheaply at metadata level (sum of html sizes
-    # is not persisted; approximate from a 1/50 sample of the output shard)
-    sample = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["n_chars"])
-    total_chars = sum(sample.column("n_chars").to_pylist()) * REPLICATE * HEAVY
+    # payload volume: html sizes are not persisted; derive from the
+    # already-loaded documents metadata (content chars + boilerplate)
+    total_chars = sum(docs_meta.column("n_chars").to_pylist()) * REPLICATE * HEAVY
     approx_payload_mb = (total_chars + n_docs * 2500) / 1e6  # content + boilerplate
 
     queries: dict[str, float] = {}
     for name in BENCH_QUERIES if RUN_QUERIES else []:
-        fn = QUERIES[name]["fn"]
         tq = time.perf_counter()
         try:
-            _consume(fn(SF_DIR))
+            # lookup inside the guard: a renamed catalog entry must not
+            # discard the completed headline run via KeyError
+            _consume(QUERIES[name]["fn"](SF_DIR))
             queries[name] = round(time.perf_counter() - tq, 3)
         except Exception as e:  # noqa: BLE001 — one bad query must not kill the bench
             print(f"bench query {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
@@ -182,14 +187,25 @@ def run_scaling() -> dict:
     lo_n, hi_n = (int(x) for x in os.environ.get("GRAFT_SCALE_LEVELS", "4,16").split(","))
 
     def run(ncpu: int) -> dict:
+        repo = os.path.dirname(os.path.abspath(__file__))
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_QUERIES="0",
-                   GRAFT_BENCH_REPLICATE=os.environ.get("GRAFT_BENCH_REPLICATE", "120"))
-        out = subprocess.run(
+                   GRAFT_BENCH_REPLICATE=os.environ.get("GRAFT_BENCH_REPLICATE", "120"),
+                   # workers import kernels by module reference — make the
+                   # child cwd-independent (review finding)
+                   PYTHONPATH=(repo + os.pathsep + os.environ["PYTHONPATH"]
+                               if os.environ.get("PYTHONPATH") else repo))
+        proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+            env=env, capture_output=True, text=True,
+        )
+        if proc.returncode != 0:
+            # a 10-minute child failing as a bare CalledProcessError with
+            # swallowed stderr is undebuggable (review finding)
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(
+                f"scaling child (num_cpus={ncpu}) exited {proc.returncode}")
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     # the sandbox VM is noisy (+-25% run to run); take the best of two runs
     # per level — we measure engine capability at each parallelism, not VM

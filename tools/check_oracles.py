@@ -17,6 +17,14 @@ import pandas as pd
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
+# Ray actor workers import kernels by module reference and do NOT see the
+# driver's sys.path — propagate via env BEFORE ray.init (review finding;
+# same note as __ray_entry__.py)
+import os
+
+os.environ["PYTHONPATH"] = (
+    f"{REPO}{os.pathsep}{os.environ['PYTHONPATH']}"
+    if os.environ.get("PYTHONPATH") else str(REPO))
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -37,10 +45,18 @@ def to_pandas(result) -> pd.DataFrame:  # noqa: ANN001
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     # sort by non-float (key) columns first: float aggregates can differ by
-    # sub-tolerance ulps between engines and must not drive row order
+    # sub-tolerance ulps between engines and must not drive row order — so
+    # float TIE-BREAKERS order by their 6dp ROUNDING, not raw bits (raw
+    # floats as tie-breakers could cross-pair rows that tie on all keys and
+    # fail the tolerance check spuriously; review finding)
     keys = [c for c in df.columns if df[c].dtype.kind != "f"]
     floats = [c for c in df.columns if df[c].dtype.kind == "f"]
-    df = df.sort_values(by=keys + floats, kind="mergesort").reset_index(drop=True)
+    for c in floats:
+        df[f"__snap_{c}"] = df[c].round(6)
+    df = (df.sort_values(by=keys + [f"__snap_{c}" for c in floats],
+                         kind="mergesort")
+          .drop(columns=[f"__snap_{c}" for c in floats])
+          .reset_index(drop=True))
     return df
 
 
@@ -76,7 +92,7 @@ def main() -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    if not ray.is_initialized():  # noqa: SIM108 — shutdown in main()'s caller
         ray.init(address="local", num_cpus=8, include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
@@ -87,6 +103,11 @@ def main() -> int:
 
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd filter must not report silent success from the gate
+        print(f"ERR  unknown query name(s): {sorted(unknown)}")
+        return 2
 
     con = duckdb.connect()
     for t in TABLES:
@@ -111,16 +132,30 @@ def main() -> int:
         if name not in sqls:
             print(f"ok   {name}: rows={len(ray_df)} ({wall:.1f}s) [rows-only, no oracle]")
             continue
-        sql_df = con.execute(sqls[name]).df()
+        try:
+            sql_df = con.execute(sqls[name]).df()
+        except Exception as e:  # noqa: BLE001 — one bad oracle must not
+            # abort the sweep (the per-query FAIL report is the product)
+            print(f"FAIL {name}: sql error: {type(e).__name__}: {e}")
+            failures += 1
+            continue
         problems = compare(name, ray_df, sql_df)
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)} ({wall:.1f}s)")
             failures += 1
         else:
             print(f"ok   {name}: rows={len(ray_df)} ({wall:.1f}s)")
-    ray.shutdown()
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        rc = main()
+    finally:
+        # shutdown even when a query/oracle raised — a leaked local Ray
+        # session can hang the NEXT ray.init(address="local") process
+        import ray as _ray
+
+        if _ray.is_initialized():
+            _ray.shutdown()
+    sys.exit(rc)
