@@ -2844,7 +2844,7 @@ def q_passage_dedup(sf_dir: str) -> Dataset:
     occurrences; a hash join + per-doc partial aggregate reduce to one
     row per doc. Rank packs (doc_id, seg) into one int64 (doc_id < 2^42,
     passages/doc < 2^21 — 40M tokens/doc)."""
-    from ..functions.fasthash import _POLY1, _POLY2, token_spans
+    from ..functions.fasthash import _MPOLY, _POLY1, token_spans
     from ..stages.dedup import _join_partitions, nonempty_blocks
 
     docs = _docs(sf_dir, ["doc_id", "text"])
@@ -2868,7 +2868,7 @@ def q_passage_dedup(sf_dir: str) -> Dataset:
             cols["dh"].extend(
                 _POLY1.span_hashes(data, w_starts, w_ends).view(np.int64))
             cols["dl"].extend(
-                _POLY2.span_hashes(data, w_starts, w_ends).view(np.int64))
+                _MPOLY.span_hashes(data, w_starts, w_ends).view(np.int64))
         return pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()})
 
     seg = docs.map_batches(explode, batch_format="pyarrow").materialize()
@@ -2936,7 +2936,7 @@ def q_dup_spans(sf_dir: str) -> Dataset:
     digests with n >= 2 — the duplicated population, orders of magnitude
     below the corpus — enter the hash join; the interval merge runs per
     doc over that doc's duplicate windows only (<= tokens/stride rows)."""
-    from ..functions.fasthash import _POLY1, _POLY2, token_spans
+    from ..functions.fasthash import _MPOLY, _POLY1, token_spans
     from ..stages.dedup import _join_partitions, nonempty_blocks
 
     docs = _docs(sf_dir, ["doc_id", "text"])
@@ -2963,7 +2963,7 @@ def q_dup_spans(sf_dir: str) -> Dataset:
             cols["dh"].extend(
                 _POLY1.span_hashes(data, w_starts, w_ends).view(np.int64))
             cols["dl"].extend(
-                _POLY2.span_hashes(data, w_starts, w_ends).view(np.int64))
+                _MPOLY.span_hashes(data, w_starts, w_ends).view(np.int64))
             cols["e"].extend(e_arr)
         return pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()})
 
@@ -3236,7 +3236,7 @@ def q_host_boilerplate(sf_dir: str) -> Dataset:
     the flag-back join both carry 16-byte digests + ids, never text. The
     per-doc totals ride along the seg rows, so one inner join + one
     per-doc aggregate finish the job."""
-    from ..functions.fasthash import _POLY1, _POLY2, token_spans
+    from ..functions.fasthash import _MPOLY, _POLY1, token_spans
     from ..sources.corpus import host_id_for
     from ..stages.dedup import _join_partitions, nonempty_blocks
 
@@ -3257,7 +3257,7 @@ def q_host_boilerplate(sf_dir: str) -> Dataset:
                 w_ends = ends[np.minimum(
                     np.arange(1, n_seg + 1) * PASSAGE_WORDS, n) - 1]
             hi = _POLY1.span_hashes(data, w_starts, w_ends)
-            lo = _POLY2.span_hashes(data, w_starts, w_ends)
+            lo = _MPOLY.span_hashes(data, w_starts, w_ends)
             pair = np.unique(np.stack([hi, lo], axis=1), axis=0)
             k = len(pair)
             out["host_id"].extend([host_id_for(d)] * k)

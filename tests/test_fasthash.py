@@ -112,3 +112,85 @@ class TestFoldRows:
 
     def test_empty(self):
         assert len(fold_rows(np.empty((0, 4), dtype=np.uint64))) == 0
+
+
+class TestPolyMersenne:
+    """The structurally-different second digest half (mod 2^61-1) that
+    replaced the second mod-2^64 polynomial in hash128_strs (advisor
+    round-4 finding: Thue-Morse pairs collide for EVERY odd base mod
+    2^64, so two mod-2^64 halves fail simultaneously)."""
+
+    P = (1 << 61) - 1
+
+    def _slow_span(self, data, l, r, poly) -> int:
+        """Scalar bignum reference: base-Binv polynomial of the span mod
+        p, then splitmix64(poly ^ len*salt) — the exact contract of
+        _PolyMersenne.span_hashes."""
+        binv = pow(poly.base_int, self.P - 2, self.P)
+        h = 0
+        for k, j in enumerate(range(l, r)):
+            h = (h + int(data[j]) * pow(binv, k, self.P)) % self.P
+        x = (h ^ ((r - l) * int(poly.len_salt))) & ((1 << 64) - 1)
+        return int(splitmix64(np.array([x], dtype=np.uint64))[0])
+
+    def test_matches_bignum_reference_on_overlapping_spans(self):
+        from ai_pdf_extraction_ray.functions.fasthash import _MPOLY
+
+        rng = np.random.default_rng(7)
+        data = rng.integers(0, 256, size=300).astype(np.uint64)
+        starts = rng.integers(0, 250, size=40)
+        ends = starts + rng.integers(0, 50, size=40)  # overlapping + empty
+        got = _MPOLY.span_hashes(data, starts.astype(np.int64),
+                                 ends.astype(np.int64))
+        for i in range(len(starts)):
+            assert int(got[i]) == self._slow_span(
+                data, int(starts[i]), int(ends[i]), _MPOLY)
+
+    def test_mulmod_matches_bignum(self):
+        from ai_pdf_extraction_ray.functions.fasthash import _mulmod61
+
+        rng = np.random.default_rng(11)
+        a = rng.integers(0, self.P, size=2000).astype(np.uint64)
+        b = rng.integers(0, self.P, size=2000).astype(np.uint64)
+        # include boundary operands
+        a[:3] = [0, 1, self.P - 1]
+        b[:3] = [self.P - 1, self.P - 1, self.P - 1]
+        got = _mulmod61(a, b)
+        for i in range(len(a)):
+            assert int(got[i]) == (int(a[i]) * int(b[i])) % self.P
+
+    @staticmethod
+    def _thue_morse_pair(k: int = 11) -> tuple[str, str]:
+        s, t = "a", "b"
+        for _ in range(k):
+            s, t = s + t, t + s
+        return s, t
+
+    def test_thue_morse_breaks_two_mod64_halves_but_not_the_pair(self):
+        """The attack the advisor described: at length 2^11 the Thue-Morse
+        pair collides under a polynomial mod 2^64 for EVERY odd base —
+        both old halves at once. The Mersenne half separates it."""
+        from ai_pdf_extraction_ray.functions.fasthash import (
+            _MPOLY, _Poly, _POLY1, _str_buffer)
+
+        s, t = self._thue_morse_pair()
+        old_second = _Poly(0xC2B2AE3D27D4EB4F, 0xA0761D6478BD642F)
+        for text_pair in ((s, t),):
+            data, starts, ends = _str_buffer(list(text_pair))
+            h1 = _POLY1.span_hashes(data, starts, ends)
+            h2 = old_second.span_hashes(data, starts, ends)
+            hm = _MPOLY.span_hashes(data, starts, ends)
+            assert h1[0] == h1[1], "TM pair should collide mod 2^64 (base 1)"
+            assert h2[0] == h2[1], "TM pair should collide mod 2^64 (base 2)"
+            assert hm[0] != hm[1], "Mersenne half must separate the TM pair"
+
+    def test_hash128_strs_second_half_is_mersenne(self):
+        from ai_pdf_extraction_ray.functions.fasthash import (
+            _MPOLY, _str_buffer, hash128_strs)
+
+        vals = ["", "x", "hello world", "hello world", "HELLO WORLD"]
+        hi, lo = hash128_strs(vals)
+        data, starts, ends = _str_buffer(vals)
+        assert (lo == _MPOLY.span_hashes(data, starts, ends)).all()
+        assert hi[2] == hi[3] and lo[2] == lo[3]
+        assert (hi[2], lo[2]) != (hi[4], lo[4])
