@@ -28,20 +28,28 @@ _ALPHA = 0.7213 / (1 + 1.079 / M)
 
 def _hash64_floats(kept: np.ndarray) -> np.ndarray:
     """Integer-valued floats hash via the int path (so 2.0 == 2 whatever
-    batch it appears in); non-integral/out-of-int64-range/inf floats via
-    repr. Range is [-2^63, 2^63) — the exact int64 domain, so the
-    boundary value -2^63 takes the int path here AND as a Python int
-    (review finding: an asymmetric bound hashed it differently per batch
-    dtype)."""
+    batch it appears in); non-integral/inf floats via repr. Range is
+    [-2^63, 2^63) — the exact int64 domain, so the boundary value -2^63
+    takes the int path here AND as a Python int (review finding: an
+    asymmetric bound hashed it differently per batch dtype). Integer-valued
+    floats ABOVE the int64 range take str(int(v)) — exact, and the SAME
+    string a uint64-sourced Python bigint of equal value takes in _hash64
+    (advisor round-4: repr(2.0**63) != str(2**63) hashed the one value two
+    ways across batch dtype compositions)."""
     if len(kept) == 0:
         return np.empty(0, dtype=np.uint64)
-    iv = (np.isfinite(kept) & (kept >= -(2.0 ** 63)) & (kept < 2.0 ** 63))
-    iv &= np.floor(kept) == kept
+    integral = np.floor(kept) == kept  # all floats beyond 2^52 are integral
+    iv = (np.isfinite(kept) & (kept >= -(2.0 ** 63)) & (kept < 2.0 ** 63)
+          & integral)
+    big = np.isfinite(kept) & integral & ~iv
+    rest = ~(iv | big)
     parts = []
     if iv.any():
         parts.append(hash64_ints(kept[iv].astype(np.int64)))
-    if (~iv).any():
-        parts.append(hash64_strs([repr(float(v)) for v in kept[~iv]]))
+    if big.any():
+        parts.append(hash64_strs([str(int(v)) for v in kept[big]]))
+    if rest.any():
+        parts.append(hash64_strs([repr(float(v)) for v in kept[rest]]))
     return parts[0] if len(parts) == 1 else np.concatenate(parts)
 
 

@@ -133,3 +133,22 @@ class TestHash64ValueDeterminism:
         a = _hash64(np.array([1.5, 2.5]))
         b = _hash64(np.array([1.5, np.nan, 2.5]))
         assert sorted(a) == sorted(b)
+
+    def test_above_int64_boundary_types_agree(self):
+        """+2^63 as Python bigint vs equal float must hash identically
+        (uint64-sourced columns surface either way batch-by-batch;
+        advisor round-4). -2^63 symmetric case already pinned above; also
+        pin that the huge-float path stays injective where floats can
+        distinguish values, and infs/non-integrals stay on the repr path."""
+        import numpy as np
+
+        from ai_pdf_extraction_ray.stages.sketches import _hash64
+
+        as_int = _hash64([2 ** 63, 2 ** 64])
+        as_float = _hash64(np.array([2.0 ** 63, 2.0 ** 64]))
+        assert sorted(as_int) == sorted(as_float)
+        # distinct huge values must not collapse
+        assert len(set(as_float)) == 2
+        # non-finite / non-integral floats unaffected
+        inf = _hash64(np.array([np.inf, -np.inf, 1.5]))
+        assert len(set(inf)) == 3

@@ -76,6 +76,11 @@ class TestParseDate:
             ("15th of January, 2024", "2024-01-15"),
             ("1st of March 2024", "2024-03-01"),
             ("20240115", "2024-01-15"),              # compact ISO
+            # month-year -> first-of-month (deterministic, vs dateutil's
+            # wall-clock-day default) — round-5 item 7
+            ("Jan 2024", "2024-01-01"),
+            ("January, 2024", "2024-01-01"),
+            ("Dec. 2023", "2023-12-01"),
         ],
     )
     def test_parses(self, raw, expected):

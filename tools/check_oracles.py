@@ -44,19 +44,32 @@ def to_pandas(result) -> pd.DataFrame:  # noqa: ANN001
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
-    # sort by non-float (key) columns first: float aggregates can differ by
-    # sub-tolerance ulps between engines and must not drive row order — so
-    # float TIE-BREAKERS order by their 6dp ROUNDING, not raw bits (raw
-    # floats as tie-breakers could cross-pair rows that tie on all keys and
-    # fail the tolerance check spuriously; review finding)
+    # Sort by non-float (key) columns only: float aggregates can differ by
+    # sub-tolerance ulps between engines and must not drive row order.
+    # Within each group of rows TIED on every key column, each float column
+    # is then sorted independently — the downstream positional allclose
+    # thereby compares key-tied float values as a multiset with tolerance.
+    # (Snapping floats to a rounding grid, the previous scheme, still
+    # cross-paired sub-tolerance values that straddle a grid boundary —
+    # advisor round-4 finding; no fixed grid can avoid that.)
     keys = [c for c in df.columns if df[c].dtype.kind != "f"]
     floats = [c for c in df.columns if df[c].dtype.kind == "f"]
-    for c in floats:
-        df[f"__snap_{c}"] = df[c].round(6)
-    df = (df.sort_values(by=keys + [f"__snap_{c}" for c in floats],
-                         kind="mergesort")
-          .drop(columns=[f"__snap_{c}" for c in floats])
-          .reset_index(drop=True))
+    if keys:
+        df = df.sort_values(by=keys, kind="mergesort").reset_index(drop=True)
+    else:
+        df = df.reset_index(drop=True)
+    if floats and len(df):
+        if keys:
+            # group by string repr: matches the astype(str) equality the
+            # key-column compare itself uses, and stays hashable for
+            # object columns holding lists
+            gid = df.groupby([df[c].astype(str) for c in keys],
+                             sort=False, dropna=False).ngroup()
+        else:
+            gid = pd.Series(0, index=df.index)
+        for c in floats:
+            df[c] = df.groupby(gid)[c].transform(
+                lambda s: s.sort_values(na_position="last").to_numpy())
     return df
 
 
