@@ -30,6 +30,7 @@ from __future__ import annotations
 import re
 
 import numpy as np
+from .tokenize import lower_parity
 
 _TOKEN = re.compile(r"\S+")
 
@@ -227,7 +228,7 @@ def token_spans(text: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     never occurs inside a token (tokens are ``\\S+`` and multi-byte UTF-8
     sequences contain no 0x20), so separator positions ARE the boundaries.
     """
-    joined = " ".join(_TOKEN.findall(text.lower())).encode("utf-8")
+    joined = " ".join(_TOKEN.findall(lower_parity(text))).encode("utf-8")
     data = np.frombuffer(joined, dtype=np.uint8).astype(np.uint64)
     if len(data) == 0:
         e = np.empty(0, dtype=np.int64)

@@ -32,6 +32,20 @@ PY_WS_CHARS = (
 WS_SPLIT_PATTERN = "[" + PY_WS_CHARS + "]+"
 
 
+def lower_parity(s: str) -> str:
+    """``str.lower()`` with U+0130 ('İ') pre-mapped to plain 'i'.
+
+    U+0130 is the one UNCONDITIONAL one-to-many lowercase special-casing
+    in Unicode: Python's full case mapping expands it to 'i' + U+0307
+    (two code points) while Arrow's ``utf8_lower`` (utf8proc) and DuckDB's
+    ``lower()`` both use the one-to-one simple mapping 'i'. Every scalar
+    tokenization path lowers through THIS helper so scalar / Arrow / SQL
+    tokenizations agree for all code points (review finding: the
+    divergence flipped distinct-token counts and token spellings for
+    Turkish-script text)."""
+    return s.replace("İ", "i").lower()
+
+
 def _as_array(col) -> pa.Array:  # noqa: ANN001 — Array | ChunkedArray
     return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 

@@ -27,6 +27,7 @@ import shutil
 from pathlib import Path
 
 import numpy as np
+from ..functions.tokenize import lower_parity
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -56,7 +57,7 @@ def curation_stage(lang: str | None, text: str | None,
     reference semantics — the hot path is ``curation_stages_vec``, whose
     parity with this function is property-tested)."""
     t = text or ""
-    low = t.lower()
+    low = lower_parity(t)
     if lang != KEEP_LANG:
         return STAGE_LANG_REJECT
     toks = _TOKEN.findall(low)
@@ -89,7 +90,7 @@ def curation_stages_vec(lang_col, text_col, gram_set) -> np.ndarray:  # noqa: AN
     survivors = np.flatnonzero(qual)
     if len(survivors):
         texts = text_col.take(pa.array(survivors, pa.int64())).to_pylist()
-        m = gram_set.count_matches([(t or "").lower() for t in texts])
+        m = gram_set.count_matches([lower_parity(t or "") for t in texts])
         stage[survivors[m == 0]] = STAGE_KEEP
     return stage
 

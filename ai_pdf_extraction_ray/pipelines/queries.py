@@ -26,6 +26,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from ..functions.tokenize import lower_parity
 import pyarrow.compute as pc
 
 import ray
@@ -216,9 +217,13 @@ class _PageStatsKernel:
             paras = [safe[i * step:(i + 1) * step] for i in range(n)]
             n_pages.append(page_count(build_multipage_pdf(d, paras)))
             urls.append(url_for(d))
-            # oversize lane input: the raw utf8 text bytes (html lane — no
-            # %PDF magic), so the clamp decision is octet_length(text) > cap
-            payloads.append(t.encode() if t is not None else None)
+            # oversize lane input: a leading newline + the raw utf8 text
+            # bytes. The newline pins the html lane for EVERY text — a doc
+            # whose text begins '%PDF-' would otherwise sniff as pdf, whose
+            # oversize routing reports via error (not warnings) and would
+            # silently diverge from the SQL restatement (review finding) —
+            # so the clamp decision is octet_length(text) + 1 > cap.
+            payloads.append(b"\n" + t.encode() if t is not None else None)
 
         rec = self.kernel(pa.table({
             "url": pa.array(urls, pa.string()),
@@ -245,7 +250,8 @@ def q_pdf_page_stats(sf_dir: str) -> Dataset:
     oracle. The oversize lane feeds the raw utf8 text through the REAL
     ``DocumentExtractor`` with a small byte cap — the 'truncated' flag is
     the kernel's own routing decision, restated in SQL as
-    ``octet_length(encode(text)) > cap``.
+    ``octet_length(encode(text)) + 1 > cap`` (the +1 is the magic-guard
+    newline prefixed to every payload).
     """
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         _PageStatsKernel, batch_format="pyarrow", concurrency=2, num_cpus=1)
@@ -1112,15 +1118,25 @@ def q_curation_funnel(sf_dir: str):  # noqa: ANN201 — DataFrame
     grams_ref = ray.put(grams)
     docs = _docs(sf_dir, ["doc_id", "lang", "text"])
 
-    def flags(b: pa.Table) -> pa.Table:
-        # ONE gate implementation, shared with pipelines/curate.py's
-        # curate_job so the funnel counts describe what the job ships —
-        # the vectorized stage codes (curation_stages_vec; judge round-4
-        # item 4), reduced to per-batch partial sums
+    class FunnelFlags:
+        # actor-pool stage: the gram matcher compiles ONCE per actor in
+        # __init__ (at benchmark scale GramSet builds an Aho-Corasick
+        # automaton — rebuilding it per batch rivals the scan itself;
+        # review finding), one gate implementation shared with
+        # pipelines/curate.py's curate_job so the funnel counts describe
+        # what the job ships — the vectorized stage codes
+        # (curation_stages_vec; judge round-4 item 4), reduced to
+        # per-batch partial sums
+        def __init__(self, grams_ref) -> None:  # noqa: ANN001 — ObjectRef
+            self.gram_set = GramSet(ray.get(grams_ref))
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            return _funnel_flags_batch(b, self.gram_set)
+
+    def _funnel_flags_batch(b: pa.Table, gram_set) -> pa.Table:  # noqa: ANN001
         text_arr = b.column("text").combine_chunks()
         stage = curation_stages_vec(
-            b.column("lang").combine_chunks(), text_arr,
-            GramSet(ray.get(grams_ref)))
+            b.column("lang").combine_chunks(), text_arr, gram_set)
         rows = {
             "n_all": len(stage),
             "n_lang": int((stage >= STAGE_QUALITY_REJECT).sum()),
@@ -1145,7 +1161,13 @@ def q_curation_funnel(sf_dir: str):  # noqa: ANN201 — DataFrame
         })
         return pa.concat_tables([t1, t2])
 
-    mixed = docs.map_batches(flags, batch_format="pyarrow").materialize()
+    # concurrency=2: an actor pool sized at the CPU count starves the
+    # co-scheduled read/map tasks on small sessions (the 4-actor variant
+    # deadlocked the 4-cpu test session — same sizing rule as
+    # _join_partitions)
+    mixed = docs.map_batches(
+        FunnelFlags, fn_constructor_kwargs={"grams_ref": grams_ref},
+        batch_format="pyarrow", concurrency=2, num_cpus=1).materialize()
     counts = (
         mixed.map_batches(
             lambda b: b.filter(pc.is_null(b.column("digest_hi"))),
@@ -3231,7 +3253,7 @@ def q_dedup_excise(sf_dir: str) -> Dataset:
 
     def excise(g: pd.DataFrame) -> pd.DataFrame:
         # one duplicate doc's span rows — a handful per doc
-        toks = _TOKEN_RE.findall((g["text"].iloc[0] or "").lower())
+        toks = _TOKEN_RE.findall(lower_parity(g["text"].iloc[0] or ""))
         mask = np.zeros(len(toks), dtype=bool)
         for s, e in zip(g["span_start"], g["span_end"]):
             mask[int(s):int(e)] = True
@@ -3956,7 +3978,7 @@ QUERIES: dict[str, dict] = {
         "sql": f"""
             SELECT doc_id,
                    1 + doc_id % {_PAGE_STATS_MAX_PAGES} AS n_pages,
-                   CASE WHEN octet_length(encode(text)) > {PAGE_STATS_CAP_BYTES}
+                   CASE WHEN octet_length(encode(text)) + 1 > {PAGE_STATS_CAP_BYTES}
                         THEN 'truncated' ELSE 'full' END AS lane
             FROM documents
         """,

@@ -930,6 +930,11 @@ def _clusters_distributed(pairs: Dataset, n_pairs: int,
                 b.column("lbl").cast(pa.int64()),
                 b.column("doc_id").cast(pa.int64()))}),
         batch_format="pyarrow").materialize()
+    # with_label's lineage contains a join over aggregate output — an empty
+    # hash-join partition can emit a schema-less empty block that would
+    # seed the NEXT join's key resolution (the Ray 2.49 hazard documented
+    # on minhash_near_dups); scrub before joining again (review finding)
+    with_label = nonempty_blocks(with_label, with_label.count())
 
     out = with_label.join(
         nonempty_blocks(sizes, n_sizes).rename_columns(

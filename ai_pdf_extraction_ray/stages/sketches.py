@@ -200,7 +200,14 @@ def heavy_hitters(
     exact count table IS a zero-error MG sketch, so pruning it to
     ``capacity`` with the standard merge compaction (``mg_merge``)
     preserves the N/capacity guarantee — ``mg_add``'s per-token fold is
-    gone from the hot path.
+    gone from the hot path. The corpus is tokenized ONCE: the per-batch
+    (token, n_part) partial-count dataset is materialized and BOTH passes
+    consume it — pass 1 builds its sketches from the partial rows (the MG
+    union guarantee holds for any partition of exact partial counts into
+    sketches, so block boundaries are free to differ from batch
+    boundaries), pass 2 candidate-filters the partials instead of
+    re-reading text. The partials are vocabulary-x-blocks rows — orders of
+    magnitude smaller than the corpus, the right intermediate at 100 TB.
 
     Returns (token, n) — top_k rows, ties broken by token asc.
     """
@@ -212,10 +219,20 @@ def heavy_hitters(
 
     from ..functions.tokenize import token_counts
 
-    def sketch_batch(b: pa.Table) -> pa.Table:
+    def count_batch(b: pa.Table) -> pa.Table:
         toks, cnts = token_counts(b.column(tokenize_col))
-        exact = dict(zip(toks.to_pylist(),
-                         (int(c) for c in cnts.to_pylist())))
+        return pa.table({"token": toks, "n_part": cnts.cast(pa.int64())})
+
+    partials = ds.map_batches(
+        count_batch, batch_format="pyarrow").materialize()
+
+    def sketch_block(b: pa.Table) -> pa.Table:
+        # a materialized block may coalesce several batches' partials, so
+        # the same token can repeat within a block — sum before the dict
+        # (a last-wins dict would silently drop counts)
+        b = b.group_by("token").aggregate([("n_part", "sum")])
+        exact = dict(zip(b.column("token").to_pylist(),
+                         (int(c) for c in b.column("n_part_sum").to_pylist())))
         counters = mg_merge([exact], capacity)
         payload = json.dumps(counters, sort_keys=True)
         bucket = int(hash64_strs([payload])[0] % np.uint64(_MERGE_BUCKETS))
@@ -232,7 +249,7 @@ def heavy_hitters(
         })
 
     bucket_rows = (
-        ds.map_batches(sketch_batch, batch_format="pyarrow")
+        partials.map_batches(sketch_block, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(merge_bucket, batch_format="pandas")
         .to_pandas()                      # <= _MERGE_BUCKETS rows
@@ -242,15 +259,15 @@ def heavy_hitters(
 
     def exact_partial(b: pa.Table) -> pa.Table:
         cand = ray.get(cand_ref)
-        toks, cnts = token_counts(b.column(tokenize_col))
+        toks = b.column("token").combine_chunks()
         keep = pc.is_in(toks, value_set=cand)
         return pa.table({
             "token": toks.filter(keep),
-            "n_part": cnts.filter(keep).cast(pa.int64()),
+            "n_part": b.column("n_part").combine_chunks().filter(keep),
         })
 
     exact = (
-        ds.map_batches(exact_partial, batch_format="pyarrow")
+        partials.map_batches(exact_partial, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("n_part", alias_name="n"))
         .to_pandas()

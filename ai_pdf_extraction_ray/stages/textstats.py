@@ -11,6 +11,7 @@ from __future__ import annotations
 import re
 
 import numpy as np
+from ..functions.tokenize import lower_parity
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -43,7 +44,7 @@ _LANG_PROFILES: dict[str, frozenset[str]] = {
 def detect_language(text: str) -> tuple[str, float]:
     """(lang, score) by function-word voting; 'und' (undetermined) when no
     profile scores."""
-    toks = [t.lower() for t in _WORD.findall(text or "")]
+    toks = [lower_parity(t) for t in _WORD.findall(text or "")]
     if not toks:
         return "und", 0.0
     best_lang, best_hits = "und", 0
@@ -252,7 +253,7 @@ def gopher_signals_row(text: str) -> dict:
     ``lower() + \\S+`` so the DuckDB oracle can restate it exactly."""
     from collections import Counter
 
-    toks = _TOKEN.findall((text or "").lower())
+    toks = _TOKEN.findall(lower_parity(text or ""))
     n = len(toks)
     if n == 0:
         return {"n_words": 0, "ttr": None, "top_word_frac": None,
@@ -310,7 +311,7 @@ def build_benchmark_ngrams(sf_dir: str) -> list[str]:
     sel = t.filter(pa.array(ids % CONTAM_BENCH_MOD == CONTAM_BENCH_RESIDUE))
     grams = []
     for text in sel.column("text").to_pylist():
-        toks = _TOKEN.findall((text or "").lower())
+        toks = _TOKEN.findall(lower_parity(text or ""))
         if len(toks) >= CONTAM_NGRAM_START + CONTAM_NGRAM_LEN:
             grams.append(" ".join(
                 toks[CONTAM_NGRAM_START:CONTAM_NGRAM_START + CONTAM_NGRAM_LEN]))
@@ -335,9 +336,19 @@ class _AhoCorasick:
     def __init__(self, patterns: list[str]) -> None:
         from collections import deque
 
+        # '' is a substring of EVERY text (including the empty text), but
+        # the scan below only inspects output links after consuming a
+        # character, and depth-1 nodes never merge out[root] — so empty
+        # patterns are matched unconditionally outside the automaton
+        # (review finding: they were silently dropped on the AC path while
+        # the pc.match_substring regime counted them)
+        self._empty_pids = frozenset(
+            pid for pid, p in enumerate(patterns) if p == "")
         goto: list[dict] = [{}]
         out: list[list[int]] = [[]]
         for pid, p in enumerate(patterns):
+            if not p:
+                continue
             node = 0
             for ch in p:
                 nxt = goto[node].get(ch)
@@ -364,7 +375,7 @@ class _AhoCorasick:
     def match_ids(self, text: str) -> set[int]:
         goto, fail, out = self._goto, self._fail, self._out
         node = 0
-        seen: set[int] = set()
+        seen: set[int] = set(self._empty_pids)
         for ch in text:
             while node and ch not in goto[node]:
                 node = fail[node]
@@ -424,7 +435,7 @@ class ContaminationFlagger:
         self.gram_set = GramSet(_ray.get(grams_ref))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        lowered = [(t or "").lower()
+        lowered = [lower_parity(t or "")
                    for t in batch.column("text").to_pylist()]
         m = self.gram_set.count_matches(lowered)
         return pa.table({

@@ -337,3 +337,38 @@ class TestTwoColumnPdf:
     def test_single_column_unaffected(self):
         text = " ".join(f"tok{i}" for i in range(60)) 
         assert extract_pdf(build_pdf(3, text))["text"] == text
+
+
+class TestPageStatsKernel:
+    """q_pdf_page_stats' kernel (S4/M2 driver coverage): page counts must
+    recover the known structure and the oversize lane must match the SQL
+    restatement octet_length(text) + 1 > cap for EVERY text — including
+    one that starts with '%PDF-' (the magic-guard newline pins the html
+    lane; review finding)."""
+
+    def test_known_pages_and_lane_parity(self):
+        import pyarrow as pa
+
+        from ai_pdf_extraction_ray.pipelines.queries import (
+            PAGE_STATS_CAP_BYTES, _PAGE_STATS_MAX_PAGES, _PageStatsKernel)
+
+        texts = [
+            "short",
+            "x" * (PAGE_STATS_CAP_BYTES + 50),
+            "%PDF-" + "y" * (PAGE_STATS_CAP_BYTES + 50),  # magic-prefix text
+            "%PDF-tiny",
+            None,
+            "",
+        ]
+        ids = list(range(len(texts)))
+        out = _PageStatsKernel()(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }))
+        assert out.column("n_pages").to_pylist() == [
+            1 + d % _PAGE_STATS_MAX_PAGES for d in ids]
+        want_lane = [
+            "truncated" if t is not None
+            and len(t.encode()) + 1 > PAGE_STATS_CAP_BYTES else "full"
+            for t in texts]
+        assert out.column("lane").to_pylist() == want_lane

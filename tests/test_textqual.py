@@ -314,6 +314,24 @@ class TestGramSetMatcher:
         assert isinstance(gs._ac, _AhoCorasick)
         assert gs.count_matches(texts).tolist() == self._naive(texts, grams)
 
+    def test_automaton_empty_pattern_and_depth1(self):
+        """Empty grams match every text ('' is a substring of anything,
+        including the empty text), and single-char grams matched at depth-1
+        nodes must still count — both were dropped by the automaton scan
+        while the small-set C path counted them (review finding)."""
+        from ai_pdf_extraction_ray.stages.textstats import (
+            AC_GRAM_THRESHOLD, GramSet, _AhoCorasick)
+
+        grams = [""] + [f"filler_{i}" for i in range(AC_GRAM_THRESHOLD + 5)] + ["a"]
+        texts = ["", "aaaa", "zzz", "filler_1"]
+        gs = GramSet(grams)
+        assert isinstance(gs._ac, _AhoCorasick)
+        assert gs.count_matches(texts).tolist() == self._naive(texts, grams)
+        # the two regimes agree on the same inputs
+        small = GramSet(["", "a"])
+        assert small._ac is None
+        assert small.count_matches(texts).tolist() == self._naive(texts, ["", "a"])
+
     def test_automaton_scan_is_sublinear_in_gram_count(self):
         """The planted 10^4-gram test: automaton scan time must not grow
         ~linearly with the gram count the way the per-gram scan does

@@ -8,6 +8,7 @@ from __future__ import annotations
 import re
 
 import numpy as np
+from ai_pdf_extraction_ray.functions.tokenize import lower_parity
 import pyarrow as pa
 import pytest
 from hypothesis import given, settings
@@ -25,7 +26,7 @@ _TOKEN = re.compile(r"\S+")
 
 def _expected(texts):
     return [(i, t) for i, s in enumerate(texts)
-            for t in _TOKEN.findall((s or "").lower())]
+            for t in _TOKEN.findall(lower_parity(s or ""))]
 
 
 class TestWhitespaceClass:
@@ -63,6 +64,19 @@ class TestFlatTokens:
     def test_empty_column(self):
         toks, rows = flat_tokens(pa.array([], pa.string()))
         assert len(toks) == 0 and len(rows) == 0
+
+    def test_turkish_capital_i_parity(self):
+        """U+0130 'İ' is Unicode's one unconditional one-to-many lowercase
+        mapping: Python str.lower() expands it to 'i'+U+0307 while Arrow
+        utf8_lower and DuckDB lower() map it to plain 'i'. lower_parity is
+        the scalar-side bridge — the Arrow path and the scalar reference
+        must agree on it (review finding: the divergence flipped
+        distinct-token counts for Turkish-script text)."""
+        texts = ["İstanbul İ İİ x", "plain"]
+        toks, rows = flat_tokens(pa.array(texts))
+        assert list(zip(rows.tolist(), toks.to_pylist())) == _expected(texts)
+        assert lower_parity("İ") == "i"          # matches Arrow/DuckDB
+        assert "İ".lower() == "i̇"          # the Python divergence
 
 
 class TestAggregates:
