@@ -33,17 +33,25 @@ WS_SPLIT_PATTERN = "[" + PY_WS_CHARS + "]+"
 
 
 def lower_parity(s: str) -> str:
-    """``str.lower()`` with U+0130 ('İ') pre-mapped to plain 'i'.
+    """``str.lower()`` pinned to the SIMPLE (one-to-one, context-free)
+    Unicode lowercase mapping that Arrow's ``utf8_lower`` (utf8proc) and
+    DuckDB's ``lower()`` both implement.
 
-    U+0130 is the one UNCONDITIONAL one-to-many lowercase special-casing
-    in Unicode: Python's full case mapping expands it to 'i' + U+0307
-    (two code points) while Arrow's ``utf8_lower`` (utf8proc) and DuckDB's
-    ``lower()`` both use the one-to-one simple mapping 'i'. Every scalar
-    tokenization path lowers through THIS helper so scalar / Arrow / SQL
-    tokenizations agree for all code points (review finding: the
-    divergence flipped distinct-token counts and token spellings for
-    Turkish-script text)."""
-    return s.replace("İ", "i").lower()
+    Python's full case mapping differs from simple lowercase in exactly
+    two reachable ways (Unicode SpecialCasing minus locale-tailored
+    rules, which Python does not apply):
+
+    - U+0130 'İ' expands one-to-many to 'i' + U+0307 — pre-map to 'i';
+    - U+03A3 'Σ' maps contextually to 'ς' when word-final (Final_Sigma)
+      but utf8proc/DuckDB always give 'σ' — pre-map to 'σ'. A lowercase
+      'ς' already in the input is untouched by lowering on every engine,
+      so only the CAPITAL sigma needs the pre-map.
+
+    Every scalar tokenization path lowers through THIS helper so
+    scalar / Arrow / SQL tokenizations agree for all code points (review
+    findings: each divergence flips token spellings, distinct counts and
+    span hashes for Turkish/Greek-script text)."""
+    return s.replace("İ", "i").replace("Σ", "σ").lower()
 
 
 def _as_array(col) -> pa.Array:  # noqa: ANN001 — Array | ChunkedArray

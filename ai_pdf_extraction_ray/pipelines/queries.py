@@ -185,12 +185,13 @@ def _pool_size(cap: int = 16) -> int:
     """Actor-pool size for stateful query stages: half the cluster's CPUs,
     never the full CPU count (a pool reserving every CPU starves the
     co-scheduled read/map tasks — a 4-actor pool deadlocked a 4-cpu test
-    session), floor 2 so small sessions still overlap setup with work."""
+    session). Floor 1, not 2: an unconditional floor of 2 would itself
+    reserve every CPU of a 1-2 cpu session (review finding)."""
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     except Exception:  # noqa: BLE001 — resource introspection is best-effort
         cpus = 8
-    return max(2, min(cap, cpus // 2, cpus - 1))
+    return max(1, min(cap, cpus // 2, cpus - 1))
 
 
 # per-worker-process compile cache for broadcast gram sets: a task-based

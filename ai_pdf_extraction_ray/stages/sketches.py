@@ -206,8 +206,13 @@ def heavy_hitters(
     union guarantee holds for any partition of exact partial counts into
     sketches, so block boundaries are free to differ from batch
     boundaries), pass 2 candidate-filters the partials instead of
-    re-reading text. The partials are vocabulary-x-blocks rows — orders of
-    magnitude smaller than the corpus, the right intermediate at 100 TB.
+    re-reading text. The partials are vocabulary-x-blocks rows — orders
+    of magnitude smaller than the corpus under the SAME boilerplate-heavy
+    assumption the exactness guarantee above already rests on. On a
+    pathological mostly-unique-token corpus they approach token-instance
+    scale: the materialization then spills via the object store (slower,
+    never wrong); the two-scan shape (re-read text in pass 2, no
+    intermediate) is the documented fallback for that corpus class.
 
     Returns (token, n) — top_k rows, ties broken by token asc.
     """

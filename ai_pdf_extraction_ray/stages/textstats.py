@@ -103,7 +103,7 @@ def quality_features(text: str) -> dict:
         "mean_token_len": _r4(sum(len(w) for w in toks) / n) if n else 0.0,
         "alpha_ratio": _r4(len(words) / n) if n else 0.0,
         "punct_ratio": _r4(sum(c in _PUNCT for c in t) / n_chars) if n_chars else 0.0,
-        "stop_ratio": _r4(sum(w.lower() in en_stops for w in toks) / n) if n else 0.0,
+        "stop_ratio": _r4(sum(lower_parity(w) in en_stops for w in toks) / n) if n else 0.0,
     }
 
 

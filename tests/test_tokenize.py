@@ -78,6 +78,22 @@ class TestFlatTokens:
         assert lower_parity("İ") == "i"          # matches Arrow/DuckDB
         assert "İ".lower() == "i̇"          # the Python divergence
 
+    def test_final_sigma_parity(self):
+        """U+03A3 'Σ' is the one CONTEXTUAL lowercase mapping Python
+        applies (word-final -> 'ς'); Arrow/DuckDB always use the simple
+        mapping 'σ'. lower_parity pre-maps the capital; an existing
+        lowercase 'ς' is untouched by lowering on every engine and must
+        pass through (review finding)."""
+        import pyarrow.compute as pc
+
+        texts = ["ΑΣ ΣΟΦΟΣ Σ", "ς stays ς"]
+        toks, rows = flat_tokens(pa.array(texts))
+        assert list(zip(rows.tolist(), toks.to_pylist())) == _expected(texts)
+        assert "ΑΣ".lower() == "ας"              # Python Final_Sigma...
+        assert lower_parity("ΑΣ") == "ασ"        # ...vs the simple mapping
+        assert lower_parity("ΑΣ") == pc.utf8_lower(pa.scalar("ΑΣ")).as_py()
+        assert lower_parity("ς") == "ς"
+
 
 class TestAggregates:
     def test_token_counts(self):
