@@ -111,6 +111,23 @@ class TestDistributedPropagation:
         got = dict(zip(*[got_ds.to_pandas()[c] for c in ("u", "label")]))
         assert {int(k): int(v) for k, v in got.items()} == want
 
+    def test_cycle_and_self_loop(self):
+        """A ring (every node degree 2, no tree structure) and a self-loop
+        edge must both resolve to the component minimum."""
+        from ai_pdf_extraction_ray.stages.dedup import (
+            cluster_pairs, propagate_min_labels)
+
+        n = 6
+        df = pd.DataFrame({
+            "doc_a": [i for i in range(n)] + [40],
+            "doc_b": [(i + 1) % n for i in range(n)] + [40],
+        })
+        want, _ = cluster_pairs(df)
+        got = propagate_min_labels(self._pairs_ds(df), len(df)).to_pandas()
+        got_map = dict(zip(got["u"].astype(int), got["label"].astype(int)))
+        assert got_map == want
+        assert got_map[40] == 40  # self-loop: own component
+
     def test_chain_component_converges(self):
         """A pure path graph is the propagation worst case (diameter
         rounds) — must still converge inside the round cap."""
