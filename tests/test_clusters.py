@@ -129,12 +129,14 @@ class TestDistributedPropagation:
         assert got_map[40] == 40  # self-loop: own component
 
     def test_chain_component_converges(self):
-        """A pure path graph is the propagation worst case (diameter
-        rounds) — must still converge inside the round cap."""
+        """A pure path graph is the worst case for plain propagation
+        (diameter rounds) — pointer jumping must converge it in
+        O(log diameter): diameter 19 here is ~5 jump rounds vs 19 plain
+        (a wall-time regression on this test flags a lost jump)."""
         from ai_pdf_extraction_ray.stages.dedup import (
             cluster_pairs, propagate_min_labels)
 
-        n = 8  # diameter 7: several rounds, still far under the cap
+        n = 20  # diameter 19
         df = pd.DataFrame({"doc_a": list(range(n - 1, 0, -1)),
                            "doc_b": list(range(n, 1, -1))})
         want, _ = cluster_pairs(df)
