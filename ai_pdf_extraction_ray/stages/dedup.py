@@ -901,12 +901,12 @@ def propagate_min_labels(pairs: Dataset, n_pairs: int) -> Dataset:
         ).materialize()
         # pointer jump: label(u) <- min(label(u), label(label(u))). Every
         # label value is itself a node id (a min over node ids), so the
-        # inner self-join preserves exactly one row per node. Both sides
-        # carry aggregate lineage -> nonempty_blocks on each.
-        nb = nonempty_blocks(labels, n_nodes)
+        # inner self-join preserves exactly one row per node. One scrubbed
+        # dataset serves BOTH join sides — materialized because it is
+        # consumed twice (lazy lineage would re-run the repartition).
+        nb = nonempty_blocks(labels, n_nodes).materialize()
         labels = nb.join(
-            nonempty_blocks(labels, n_nodes).rename_columns(
-                {"u": "p_key", "label": "p_label"}),
+            nb.rename_columns({"u": "p_key", "label": "p_label"}),
             join_type="inner", num_partitions=_join_partitions(),
             on=("label",), right_on=("p_key",),
         ).map_batches(
@@ -922,8 +922,10 @@ def propagate_min_labels(pairs: Dataset, n_pairs: int) -> Dataset:
         prev_sum = cur_sum
     raise RuntimeError(
         f"min-label propagation did not converge in {_PROPAGATE_MAX_ROUNDS}"
-        " rounds — a pathological chain component; raise"
-        " _PROPAGATE_MAX_ROUNDS or switch this run to pointer-jumping")
+        " rounds — with pointer jumping this bound covers 2^64-deep"
+        " chains, so a real graph cannot reach it: suspect a logic"
+        " regression (lost jump step) or corrupted pair input, not data"
+        " scale")
 
 
 def _clusters_distributed(pairs: Dataset, n_pairs: int,

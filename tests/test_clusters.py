@@ -130,13 +130,14 @@ class TestDistributedPropagation:
 
     def test_chain_component_converges(self):
         """A pure path graph is the worst case for plain propagation
-        (diameter rounds) — pointer jumping must converge it in
-        O(log diameter): diameter 19 here is ~5 jump rounds vs 19 plain
-        (a wall-time regression on this test flags a lost jump)."""
+        (diameter rounds). Diameter 69 EXCEEDS _PROPAGATE_MAX_ROUNDS=64,
+        so plain propagation deterministically raises here — only the
+        pointer-jump step (O(log diameter) rounds) converges it. Losing
+        the jump in a refactor fails this test loudly, not by wall time."""
         from ai_pdf_extraction_ray.stages.dedup import (
             cluster_pairs, propagate_min_labels)
 
-        n = 20  # diameter 19
+        n = 70  # diameter 69 > the 64-round cap without the jump
         df = pd.DataFrame({"doc_a": list(range(n - 1, 0, -1)),
                            "doc_b": list(range(n, 1, -1))})
         want, _ = cluster_pairs(df)
