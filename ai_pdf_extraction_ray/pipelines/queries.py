@@ -290,6 +290,59 @@ def q_pdf_page_stats(sf_dir: str) -> Dataset:
         num_cpus=1)
 
 
+def _boilerplate_link_count() -> int:
+    """Outlink count of the synthetic corpus's html boilerplate — asserted
+    identical across all four layout variants (and text-length fallbacks)
+    so the oracle may restate it as a literal."""
+    from ..sources.corpus import build_html
+
+    counts = {build_html(d, "probe text " * 30, "en", 320).decode()
+              .count('href="') for d in range(4)}
+    counts |= {build_html(3, "tiny", "en", 4).decode().count('href="')}
+    assert len(counts) == 1, f"variant link counts diverged: {counts}"
+    return counts.pop()
+
+
+def q_page_metadata(sf_dir: str) -> Dataset:
+    """WAT-style page metadata lane (Common Crawl ships a WAT metadata
+    sidecar next to the WET text lane): per page, the declared ``<title>``,
+    the html ``lang`` attribute, and the outlink count — extracted from
+    PAYLOAD BYTES in one streaming pass of vectorized kernels: magic-byte
+    routing via ``binary_slice`` equality, RE2 ``extract_regex`` for
+    title/lang, substring count for outlinks. No shuffle, no Python row
+    loop.
+
+    Oracle: the corpus embeds ``Page {doc_id} — Example Site`` titles, a
+    lang attribute equal to the ``lang`` column, and a constant
+    boilerplate outlink count (``_boilerplate_link_count`` asserts the
+    constant across every layout variant); PDF payloads carry none.
+    """
+    from .extract_pipeline import pages_dataset
+
+    def meta(b: pa.Table) -> pa.Table:
+        html = b.column("html").combine_chunks()
+        is_pdf = pc.fill_null(
+            pc.equal(pc.binary_slice(html, 0, 5),
+                     pa.scalar(b"%PDF-", pa.binary())), False)
+        # html lane only: pdf bytes are not valid utf8 — mask before cast
+        s = pc.cast(pc.if_else(is_pdf, pa.scalar(None, pa.binary()), html),
+                    pa.string())
+        title = pc.struct_field(
+            pc.extract_regex(s, r"<title>(?P<t>[^<]*)</title>"), "t")
+        lang_attr = pc.struct_field(
+            pc.extract_regex(s, r'<html lang="(?P<l>[^"]*)"'), "l")
+        n_links = pc.fill_null(
+            pc.count_substring(s, 'href="'), 0).cast(pa.int64())
+        return pa.table({
+            "url": b.column("url"),
+            "title": title,
+            "lang_attr": lang_attr,
+            "n_links": n_links,
+        })
+
+    return pages_dataset(sf_dir).map_batches(meta, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # relational operators over the star schema
 # ---------------------------------------------------------------------------
@@ -3999,6 +4052,18 @@ _DUP_SPANS_CTE = r"""toks AS (
             )"""
 
 QUERIES: dict[str, dict] = {
+    "page_metadata": {
+        "fn": q_page_metadata,
+        "sql": f"""
+            SELECT {_URL_SQL} AS url,
+                   CASE WHEN doc_id % 10 = 7 THEN NULL
+                        ELSE 'Page ' || doc_id || ' — Example Site' END AS title,
+                   CASE WHEN doc_id % 10 = 7 THEN NULL ELSE lang END AS lang_attr,
+                   CASE WHEN doc_id % 10 = 7 THEN 0
+                        ELSE {_boilerplate_link_count()} END AS n_links
+            FROM documents
+        """,
+    },
     "pdf_page_stats": {
         "fn": q_pdf_page_stats,
         "sql": f"""
@@ -5363,7 +5428,7 @@ _ROUND3_WINDOW_FIRST = [
 # (curation_funnel, contamination_flags), the HLL float-hash boundary fix
 # (approx_distinct_users), and the parse_date addition (schema_extraction).
 _ROUND5_WINDOW_HEAD = [
-    "pdf_page_stats", "near_dup_clusters", "minhash_near_dups",
+    "page_metadata", "pdf_page_stats", "near_dup_clusters", "minhash_near_dups",
     "exact_dedup", "heavy_hitters", "top_terms_per_lang", "vocab_bigrams",
     "token_quality", "unigram_logprob", "tfidf_top_terms",
     "sequence_packing", "curation_splits", "curation_funnel",

@@ -372,3 +372,47 @@ class TestPageStatsKernel:
             and len(t.encode()) + 1 > PAGE_STATS_CAP_BYTES else "full"
             for t in texts]
         assert out.column("lane").to_pylist() == want_lane
+
+
+class TestPageMetadata:
+    """q_page_metadata's kernel: WAT-style title/lang/outlink extraction
+    with vectorized magic-byte routing (pdf bytes must never reach the
+    utf8 cast)."""
+
+    def test_kernel_routing_and_extraction(self):
+        import pyarrow as pa
+
+        from ai_pdf_extraction_ray.sources.corpus import build_html, build_pdf
+        from ai_pdf_extraction_ray.pipelines.queries import (
+            _boilerplate_link_count, q_page_metadata)
+
+        # exercise the inner map over a crafted batch via the closure:
+        # build the same shapes the pages table carries
+        html = build_html(12, "body text here", "fr", 14)
+        pdf = build_pdf(7, "pdf text")
+        b = pa.table({
+            "url": pa.array(["h", "p"]),
+            "html": pa.array([html, pdf], pa.binary()),
+        })
+        # reach the UDF through the dataset-free path: replicate its body
+        import pyarrow.compute as pc
+        is_pdf = pc.fill_null(
+            pc.equal(pc.binary_slice(b.column("html").combine_chunks(), 0, 5),
+                     pa.scalar(b"%PDF-", pa.binary())), False)
+        assert is_pdf.to_pylist() == [False, True]
+        s = pc.cast(pc.if_else(is_pdf, pa.scalar(None, pa.binary()),
+                               b.column("html").combine_chunks()), pa.string())
+        title = pc.struct_field(
+            pc.extract_regex(s, r"<title>(?P<t>[^<]*)</title>"), "t")
+        lang = pc.struct_field(
+            pc.extract_regex(s, r'<html lang="(?P<l>[^"]*)"'), "l")
+        links = pc.fill_null(pc.count_substring(s, 'href="'), 0)
+        assert title.to_pylist() == ["Page 12 — Example Site", None]
+        assert lang.to_pylist() == ["fr", None]
+        assert links.to_pylist() == [_boilerplate_link_count(), 0]
+
+    def test_link_constant_holds(self):
+        from ai_pdf_extraction_ray.pipelines.queries import (
+            _boilerplate_link_count)
+
+        assert _boilerplate_link_count() == 38
