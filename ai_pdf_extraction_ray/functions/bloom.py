@@ -39,7 +39,8 @@ class BloomFilter:
     removes false positives, so end-to-end results are exact."""
 
     def __init__(self, num_bits: int = 1 << 17, num_hashes: int = 7) -> None:
-        assert num_bits & (num_bits - 1) == 0, "num_bits must be a power of two"
+        if num_bits & (num_bits - 1) != 0:
+            raise ValueError("num_bits must be a power of two")
         self.num_bits = num_bits
         self.num_hashes = num_hashes
         self.bits = np.zeros(num_bits // 8, dtype=np.uint8)
@@ -67,7 +68,8 @@ class BloomFilter:
         return out
 
     def merge(self, other: "BloomFilter") -> "BloomFilter":
-        assert (self.num_bits, self.num_hashes) == (other.num_bits, other.num_hashes)
+        if (self.num_bits, self.num_hashes) != (other.num_bits, other.num_hashes):
+            raise ValueError("cannot merge Bloom filters with different geometry")
         self.bits |= other.bits
         return self
 

@@ -182,7 +182,8 @@ class _PolyMersenne:
     def span_hashes(self, data: np.ndarray, starts: np.ndarray,
                     ends: np.ndarray) -> np.ndarray:
         n = len(data)
-        assert n < (1 << 31), "batch byte buffer exceeds mod-p cumsum bound"
+        if n >= (1 << 31):
+            raise ValueError("batch byte buffer exceeds mod-p cumsum bound")
         self._grow(n + 1)
         if len(starts) == 0:
             return np.empty(0, dtype=np.uint64)

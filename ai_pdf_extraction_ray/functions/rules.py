@@ -38,9 +38,11 @@ _ALLOWED_FUNCS: dict[str, Any] = {
 # single-source guard: the name set schema.filter_rules exempts from
 # field-reference checks must equal the callables this evaluator accepts,
 # or rules silently drop / silently skip (review finding)
-assert set(_ALLOWED_FUNCS) == set(_SCHEMA_FUNC_NAMES), (
-    set(_ALLOWED_FUNCS) ^ set(_SCHEMA_FUNC_NAMES)
-)
+if set(_ALLOWED_FUNCS) != set(_SCHEMA_FUNC_NAMES):
+    raise RuntimeError(
+        "rule-evaluator/schema function allowlists diverged: "
+        f"{set(_ALLOWED_FUNCS) ^ set(_SCHEMA_FUNC_NAMES)}"
+    )
 
 # simpleeval-style power guard (the library this module replaces enforces
 # MAX_POWER; without it `10**10**10` allocates a multi-GB integer inside a

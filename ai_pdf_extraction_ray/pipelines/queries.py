@@ -290,17 +290,53 @@ def q_pdf_page_stats(sf_dir: str) -> Dataset:
         num_cpus=1)
 
 
-def _boilerplate_link_count() -> int:
-    """Outlink count of the synthetic corpus's html boilerplate — asserted
-    identical across all four layout variants (and text-length fallbacks)
-    so the oracle may restate it as a literal."""
-    from ..sources.corpus import build_html
+_BOILERPLATE_LINKS: int | None = None
 
-    counts = {build_html(d, "probe text " * 30, "en", 320).decode()
-              .count('href="') for d in range(4)}
-    counts |= {build_html(3, "tiny", "en", 4).decode().count('href="')}
-    assert len(counts) == 1, f"variant link counts diverged: {counts}"
-    return counts.pop()
+
+def _boilerplate_link_count() -> int:
+    """Outlink count of the synthetic corpus's html boilerplate — checked
+    identical across all four layout variants (and the text-length
+    fallback) so the oracle may restate it as a literal. Computed lazily
+    and cached (the check builds pages; it must not run at module
+    import), and the divergence guard is an explicit raise, not an assert
+    (asserts vanish under ``python -O`` and a silent ``counts.pop()``
+    would hand the oracle an arbitrary wrong literal)."""
+    global _BOILERPLATE_LINKS
+    if _BOILERPLATE_LINKS is None:
+        from ..sources.corpus import build_html
+
+        counts = {build_html(d, "probe text " * 30, "en", 320).decode()
+                  .count('href="') for d in range(4)}
+        counts |= {build_html(3, "tiny", "en", 4).decode().count('href="')}
+        if len(counts) != 1:
+            raise ValueError(f"variant link counts diverged: {counts}")
+        _BOILERPLATE_LINKS = counts.pop()
+    return _BOILERPLATE_LINKS
+
+
+def _page_metadata_batch(b: pa.Table) -> pa.Table:
+    """q_page_metadata's kernel, module-level so tests exercise the SAME
+    code the query runs (review finding: a frozen copy in the test let
+    kernel regressions pass)."""
+    html = b.column("html").combine_chunks()
+    is_pdf = pc.fill_null(
+        pc.equal(pc.binary_slice(html, 0, 5),
+                 pa.scalar(b"%PDF-", pa.binary())), False)
+    # html lane only: pdf bytes are not valid utf8 — mask before cast
+    s = pc.cast(pc.if_else(is_pdf, pa.scalar(None, pa.binary()), html),
+                pa.string())
+    title = pc.struct_field(
+        pc.extract_regex(s, r"<title>(?P<t>[^<]*)</title>"), "t")
+    lang_attr = pc.struct_field(
+        pc.extract_regex(s, r'<html lang="(?P<l>[^"]*)"'), "l")
+    n_links = pc.fill_null(
+        pc.count_substring(s, 'href="'), 0).cast(pa.int64())
+    return pa.table({
+        "url": b.column("url"),
+        "title": title,
+        "lang_attr": lang_attr,
+        "n_links": n_links,
+    })
 
 
 def q_page_metadata(sf_dir: str) -> Dataset:
@@ -319,28 +355,8 @@ def q_page_metadata(sf_dir: str) -> Dataset:
     """
     from .extract_pipeline import pages_dataset
 
-    def meta(b: pa.Table) -> pa.Table:
-        html = b.column("html").combine_chunks()
-        is_pdf = pc.fill_null(
-            pc.equal(pc.binary_slice(html, 0, 5),
-                     pa.scalar(b"%PDF-", pa.binary())), False)
-        # html lane only: pdf bytes are not valid utf8 — mask before cast
-        s = pc.cast(pc.if_else(is_pdf, pa.scalar(None, pa.binary()), html),
-                    pa.string())
-        title = pc.struct_field(
-            pc.extract_regex(s, r"<title>(?P<t>[^<]*)</title>"), "t")
-        lang_attr = pc.struct_field(
-            pc.extract_regex(s, r'<html lang="(?P<l>[^"]*)"'), "l")
-        n_links = pc.fill_null(
-            pc.count_substring(s, 'href="'), 0).cast(pa.int64())
-        return pa.table({
-            "url": b.column("url"),
-            "title": title,
-            "lang_attr": lang_attr,
-            "n_links": n_links,
-        })
-
-    return pages_dataset(sf_dir).map_batches(meta, batch_format="pyarrow")
+    return pages_dataset(sf_dir).map_batches(
+        _page_metadata_batch, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -4058,7 +4074,8 @@ QUERIES: dict[str, dict] = {
             SELECT {_URL_SQL} AS url,
                    CASE WHEN doc_id % 10 = 7 THEN NULL
                         ELSE 'Page ' || doc_id || ' — Example Site' END AS title,
-                   CASE WHEN doc_id % 10 = 7 THEN NULL ELSE lang END AS lang_attr,
+                   CASE WHEN doc_id % 10 = 7 THEN NULL
+                        ELSE coalesce(nullif(lang, ''), 'en') END AS lang_attr,
                    CASE WHEN doc_id % 10 = 7 THEN 0
                         ELSE {_boilerplate_link_count()} END AS n_links
             FROM documents

@@ -384,32 +384,21 @@ class TestPageMetadata:
 
         from ai_pdf_extraction_ray.sources.corpus import build_html, build_pdf
         from ai_pdf_extraction_ray.pipelines.queries import (
-            _boilerplate_link_count, q_page_metadata)
+            _boilerplate_link_count, _page_metadata_batch)
 
-        # exercise the inner map over a crafted batch via the closure:
-        # build the same shapes the pages table carries
+        # the REAL kernel (module-level; a frozen copy here let kernel
+        # regressions pass — review finding)
         html = build_html(12, "body text here", "fr", 14)
         pdf = build_pdf(7, "pdf text")
-        b = pa.table({
+        out = _page_metadata_batch(pa.table({
             "url": pa.array(["h", "p"]),
             "html": pa.array([html, pdf], pa.binary()),
-        })
-        # reach the UDF through the dataset-free path: replicate its body
-        import pyarrow.compute as pc
-        is_pdf = pc.fill_null(
-            pc.equal(pc.binary_slice(b.column("html").combine_chunks(), 0, 5),
-                     pa.scalar(b"%PDF-", pa.binary())), False)
-        assert is_pdf.to_pylist() == [False, True]
-        s = pc.cast(pc.if_else(is_pdf, pa.scalar(None, pa.binary()),
-                               b.column("html").combine_chunks()), pa.string())
-        title = pc.struct_field(
-            pc.extract_regex(s, r"<title>(?P<t>[^<]*)</title>"), "t")
-        lang = pc.struct_field(
-            pc.extract_regex(s, r'<html lang="(?P<l>[^"]*)"'), "l")
-        links = pc.fill_null(pc.count_substring(s, 'href="'), 0)
-        assert title.to_pylist() == ["Page 12 — Example Site", None]
-        assert lang.to_pylist() == ["fr", None]
-        assert links.to_pylist() == [_boilerplate_link_count(), 0]
+        }))
+        assert out.column("title").to_pylist() == [
+            "Page 12 — Example Site", None]
+        assert out.column("lang_attr").to_pylist() == ["fr", None]
+        assert out.column("n_links").to_pylist() == [
+            _boilerplate_link_count(), 0]
 
     def test_link_constant_holds(self):
         from ai_pdf_extraction_ray.pipelines.queries import (
