@@ -359,6 +359,71 @@ def q_page_metadata(sf_dir: str) -> Dataset:
         _page_metadata_batch, batch_format="pyarrow")
 
 
+def q_host_reputation(sf_dir: str) -> Dataset:
+    """Domain-level curation signal (the CCNet/RefinedWeb host-prune
+    table): per host — doc volume, mean document length, and the share of
+    docs surviving the full curation gate. This is the table a crawl
+    scheduler uses to deprioritize low-yield hosts.
+
+    One streaming pass over the corpus: vectorized host derivation + the
+    SHARED gate stage codes (``curation_stages_vec`` with the per-worker
+    cached gram matcher), Arrow partial sums per batch, then a
+    hosts-sized groupby (41 rows). Ratios round through the shared
+    scaled-int helpers on both sides.
+    """
+    from ..sources.corpus import N_HOSTS
+    from ..stages.textstats import build_benchmark_ngrams
+    from .curate import STAGE_KEEP, curation_stages_vec
+
+    grams_ref = ray.put(build_benchmark_ngrams(sf_dir))
+    docs = _docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        host_id = np.where(d % 3 == 0, 0, d % N_HOSTS)
+        stage = curation_stages_vec(
+            b.column("lang").combine_chunks(),
+            b.column("text").combine_chunks(),
+            _cached_gram_set(grams_ref))
+        kept = (stage == STAGE_KEEP).astype(np.int64)
+        chars = pc.fill_null(pc.utf8_length(b.column("text")), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        t = pa.table({
+            "host_id": pa.array(host_id, pa.int64()),
+            "kept": pa.array(kept, pa.int64()),
+            "chars": pa.array(chars, pa.int64()),
+        })
+        agg = t.group_by("host_id").aggregate(
+            [([], "count_all"), ("kept", "sum"), ("chars", "sum")])
+        return pa.table({
+            "host_id": agg.column("host_id"),
+            "n_part": agg.column("count_all").cast(pa.int64()),
+            "kept_part": agg.column("kept_sum").cast(pa.int64()),
+            "chars_part": agg.column("chars_sum").cast(pa.int64()),
+        })
+
+    agg = (docs.map_batches(partial, batch_format="pyarrow")
+           .groupby("host_id")
+           .aggregate(Sum("n_part", alias_name="n_docs"),
+                      Sum("kept_part", alias_name="n_kept"),
+                      Sum("chars_part", alias_name="chars")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n_docs").cast(pa.float64())
+        hosts = [f"h{int(h)}.example.com"
+                 for h in b.column("host_id").to_pylist()]  # <= N_HOSTS rows
+        return pa.table({
+            "host": pa.array(hosts, pa.string()),
+            "n_docs": b.column("n_docs").cast(pa.int64()),
+            "kept_share": _pc_round(
+                pc.divide(b.column("n_kept").cast(pa.float64()), n), 6),
+            "avg_chars": _pc_round(
+                pc.divide(b.column("chars").cast(pa.float64()), n), 4),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # relational operators over the star schema
 # ---------------------------------------------------------------------------
@@ -4068,6 +4133,42 @@ _DUP_SPANS_CTE = r"""toks AS (
             )"""
 
 QUERIES: dict[str, dict] = {
+    "host_reputation": {
+        "fn": q_host_reputation,
+        "sql": rf"""
+            WITH f AS (
+                SELECT doc_id, lang, text, lower(text) AS low,
+                       regexp_extract_all(lower(text), '\S+') AS toks,
+                       CASE WHEN doc_id % 3 = 0 THEN 0
+                            ELSE doc_id % 41 END AS host_id
+                FROM documents),
+            q AS (
+                SELECT *, len(toks) AS n,
+                       CAST(len(list_distinct(toks)) AS DOUBLE)
+                           / len(toks) AS ttr
+                FROM f),
+            bench AS (
+                SELECT array_to_string(
+                           list_slice(regexp_extract_all(lower(text), '\S+'),
+                                      5, 17), ' ') AS ngram
+                FROM documents
+                WHERE doc_id % 97 = 3
+                  AND len(regexp_extract_all(lower(text), '\S+')) >= 17),
+            k AS (
+                SELECT host_id, length(text) AS chars,
+                       CASE WHEN lang = 'en' AND n >= 20 AND ttr >= 0.4
+                                 AND NOT EXISTS (
+                                     SELECT 1 FROM bench b
+                                     WHERE contains(q.low, b.ngram))
+                            THEN 1 ELSE 0 END AS kept
+                FROM q)
+            SELECT 'h' || CAST(host_id AS VARCHAR) || '.example.com' AS host,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   {_sql_round("CAST(sum(kept) AS DOUBLE) / count(*)", 6)} AS kept_share,
+                   {_sql_round("CAST(sum(chars) AS DOUBLE) / count(*)", 4)} AS avg_chars
+            FROM k GROUP BY host_id
+        """,
+    },
     "page_metadata": {
         "fn": q_page_metadata,
         "sql": f"""
@@ -5445,7 +5546,8 @@ _ROUND3_WINDOW_FIRST = [
 # (curation_funnel, contamination_flags), the HLL float-hash boundary fix
 # (approx_distinct_users), and the parse_date addition (schema_extraction).
 _ROUND5_WINDOW_HEAD = [
-    "page_metadata", "pdf_page_stats", "near_dup_clusters", "minhash_near_dups",
+    "host_reputation", "page_metadata", "pdf_page_stats",
+    "near_dup_clusters", "minhash_near_dups",
     "exact_dedup", "heavy_hitters", "top_terms_per_lang", "vocab_bigrams",
     "token_quality", "unigram_logprob", "tfidf_top_terms",
     "sequence_packing", "curation_splits", "curation_funnel",

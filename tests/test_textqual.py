@@ -408,3 +408,23 @@ class TestCurationStagesVec:
         want = [curation_stage(lg, tx, grams)
                 for lg, tx in zip(langs, texts)]
         assert got.tolist() == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHostReputation:
+    def test_host_parity_and_bounds(self):
+        from ai_pdf_extraction_ray.pipelines.queries import QUERIES
+        from ai_pdf_extraction_ray.sources.corpus import host_id_for
+
+        import pyarrow.parquet as pq
+
+        out = QUERIES["host_reputation"]["fn"](SF_SMOKE).to_pandas()
+        ids = pq.read_table(f"{SF_SMOKE}/documents.parquet",
+                            columns=["doc_id"]).column("doc_id").to_pylist()
+        # every host name matches the corpus derivation, none invented
+        want_hosts = {f"h{host_id_for(d)}.example.com" for d in ids}
+        assert set(out["host"]) == want_hosts
+        assert (out["kept_share"] >= 0).all() and (out["kept_share"] <= 1).all()
+        assert (out["avg_chars"] > 0).all()
+        # volumes add up to the corpus size
+        assert out["n_docs"].sum() == len(ids)
