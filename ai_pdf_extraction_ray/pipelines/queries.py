@@ -57,10 +57,32 @@ INVOICE_SCHEMA = SchemaDefinition(
     validation_rules=["total_amount == subtotal + tax_amount"],
 )
 
+from ..sources.corpus import N_HOSTS as _N_HOSTS  # noqa: E402
+from ..stages.textstats import (  # noqa: E402
+    CONTAM_BENCH_MOD as _CB_MOD,
+    CONTAM_BENCH_RESIDUE as _CB_RES,
+    CONTAM_NGRAM_LEN as _CB_LEN,
+    CONTAM_NGRAM_START as _CB_START,
+)
+
+# host derivation restated once from the corpus constants (review finding:
+# a hardcoded 41 drifts silently if N_HOSTS changes)
+_HOST_ID_SQL = f"CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % {_N_HOSTS} END"
 _URL_SQL = (
-    "'https://h' || CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 41 END AS VARCHAR)"
+    f"'https://h' || CAST({_HOST_ID_SQL} AS VARCHAR)"
     " || '.example.com/p/' || CAST(doc_id AS VARCHAR)"
 )
+
+# benchmark n-gram CTE, single-sourced from the contamination constants —
+# four oracles share it (review finding: four verbatim copies drift when
+# the gate changes)
+_BENCH_CTE_SQL = rf"""bench AS (
+                SELECT array_to_string(
+                           list_slice(regexp_extract_all(lower(text), '\S+'),
+                                      {_CB_START + 1}, {_CB_START + _CB_LEN}), ' ') AS ngram
+                FROM documents
+                WHERE doc_id % {_CB_MOD} = {_CB_RES}
+                  AND len(regexp_extract_all(lower(text), '\S+')) >= {_CB_START + _CB_LEN})"""
 
 
 # oracle-stable rounding: single shared implementation (functions/rounding.py)
@@ -294,24 +316,34 @@ _BOILERPLATE_LINKS: int | None = None
 
 
 def _boilerplate_link_count() -> int:
-    """Outlink count of the synthetic corpus's html boilerplate — checked
-    identical across all four layout variants (and the text-length
-    fallback) so the oracle may restate it as a literal. Computed lazily
-    and cached (the check builds pages; it must not run at module
-    import), and the divergence guard is an explicit raise, not an assert
-    (asserts vanish under ``python -O`` and a silent ``counts.pop()``
-    would hand the oracle an arbitrary wrong literal)."""
+    """Outlink count of the synthetic corpus's html boilerplate, from ONE
+    built page (cached). This DOES run at module import (the page_metadata
+    oracle f-string calls it), so it must never raise on a valid corpus —
+    the cross-variant invariance that licenses using a single page (every
+    layout variant and the text-length fallback emit the same count) is
+    pinned by ``boilerplate_link_count_variants`` in
+    tests/test_extractors.py, and a drift that slipped past the test
+    would fail only the page_metadata oracle at the driver gate, never
+    the import of all 97 queries (review finding)."""
     global _BOILERPLATE_LINKS
     if _BOILERPLATE_LINKS is None:
         from ..sources.corpus import build_html
 
-        counts = {build_html(d, "probe text " * 30, "en", 320).decode()
-                  .count('href="') for d in range(4)}
-        counts |= {build_html(3, "tiny", "en", 4).decode().count('href="')}
-        if len(counts) != 1:
-            raise ValueError(f"variant link counts diverged: {counts}")
-        _BOILERPLATE_LINKS = counts.pop()
+        _BOILERPLATE_LINKS = (build_html(1, "probe text " * 30, "en", 320)
+                              .decode().count('href="'))
     return _BOILERPLATE_LINKS
+
+
+def boilerplate_link_count_variants() -> set[int]:
+    """Link counts across every layout variant + the short-text fallback —
+    the invariance check backing ``_boilerplate_link_count`` (exercised by
+    the unit test, deliberately NOT at import)."""
+    from ..sources.corpus import build_html
+
+    counts = {build_html(d, "probe text " * 30, "en", 320).decode()
+              .count('href="') for d in range(4)}
+    counts |= {build_html(3, "tiny", "en", 4).decode().count('href="')}
+    return counts
 
 
 def _page_metadata_batch(b: pa.Table) -> pa.Table:
@@ -4139,21 +4171,14 @@ QUERIES: dict[str, dict] = {
             WITH f AS (
                 SELECT doc_id, lang, text, lower(text) AS low,
                        regexp_extract_all(lower(text), '\S+') AS toks,
-                       CASE WHEN doc_id % 3 = 0 THEN 0
-                            ELSE doc_id % 41 END AS host_id
+                       {_HOST_ID_SQL} AS host_id
                 FROM documents),
             q AS (
                 SELECT *, len(toks) AS n,
                        CAST(len(list_distinct(toks)) AS DOUBLE)
                            / len(toks) AS ttr
                 FROM f),
-            bench AS (
-                SELECT array_to_string(
-                           list_slice(regexp_extract_all(lower(text), '\S+'),
-                                      5, 17), ' ') AS ngram
-                FROM documents
-                WHERE doc_id % 97 = 3
-                  AND len(regexp_extract_all(lower(text), '\S+')) >= 17),
+            {_BENCH_CTE_SQL},
             k AS (
                 SELECT host_id, length(text) AS chars,
                        CASE WHEN lang = 'en' AND n >= 20 AND ttr >= 0.4
@@ -4828,7 +4853,7 @@ QUERIES: dict[str, dict] = {
     },
     "curation_funnel": {
         "fn": q_curation_funnel,
-        "sql": r"""
+        "sql": rf"""
             WITH f AS (
                 SELECT doc_id, lang, text, lower(text) AS low,
                        regexp_extract_all(lower(text), '\S+') AS toks
@@ -4839,13 +4864,7 @@ QUERIES: dict[str, dict] = {
                        CAST(len(list_distinct(toks)) AS DOUBLE)
                            / len(toks) AS ttr
                 FROM f),
-            bench AS (
-                SELECT array_to_string(
-                           list_slice(regexp_extract_all(lower(text), '\S+'),
-                                      5, 17), ' ') AS ngram
-                FROM documents
-                WHERE doc_id % 97 = 3
-                  AND len(regexp_extract_all(lower(text), '\S+')) >= 17),
+            {_BENCH_CTE_SQL},
             s2 AS (SELECT * FROM q WHERE lang = 'en'),
             s3 AS (SELECT * FROM s2 WHERE n >= 20 AND ttr >= 0.4),
             s4 AS (SELECT * FROM s3 WHERE NOT EXISTS (
@@ -4870,13 +4889,7 @@ QUERIES: dict[str, dict] = {
                 SELECT *, len(toks) AS n,
                        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
                 FROM f),
-            bench AS (
-                SELECT array_to_string(
-                           list_slice(regexp_extract_all(lower(text), '\S+'),
-                                      5, 17), ' ') AS ngram
-                FROM documents
-                WHERE doc_id % 97 = 3
-                  AND len(regexp_extract_all(lower(text), '\S+')) >= 17),
+            {_BENCH_CTE_SQL},
             s4 AS (
                 SELECT * FROM q
                 WHERE lang = 'en' AND n >= 20 AND ttr >= 0.4
@@ -5098,14 +5111,8 @@ QUERIES: dict[str, dict] = {
     },
     "contamination_flags": {
         "fn": q_contamination_flags,
-        "sql": r"""
-            WITH bench AS (
-                SELECT array_to_string(
-                           list_slice(regexp_extract_all(lower(text), '\S+'),
-                                      5, 17), ' ') AS ngram
-                FROM documents
-                WHERE doc_id % 97 = 3
-                  AND len(regexp_extract_all(lower(text), '\S+')) >= 17)
+        "sql": rf"""
+            WITH {_BENCH_CTE_SQL}
             SELECT d.doc_id,
                    CAST(sum(CASE WHEN contains(lower(d.text), b.ngram)
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,

@@ -130,7 +130,8 @@ class MinHasher:
 
     def __init__(self, num_perm: int = 64, bands: int = 16, k: int = 3) -> None:
         if num_perm % bands != 0:
-            raise ValueError(f"num_perm ({num_perm}) must divide into bands ({bands})")
+            raise ValueError(
+                f"bands ({bands}) must evenly divide num_perm ({num_perm})")
         self.num_perm, self.bands, self.k = num_perm, bands, k
         self.rows_per_band = num_perm // bands
         self.a, self.b = _hash_params(num_perm)

@@ -401,7 +401,11 @@ class TestPageMetadata:
             _boilerplate_link_count(), 0]
 
     def test_link_constant_holds(self):
+        """Cross-variant invariance: _boilerplate_link_count builds ONE
+        page (it runs at import and must not raise), so THIS test owns the
+        check that every layout variant agrees with that single page."""
         from ai_pdf_extraction_ray.pipelines.queries import (
-            _boilerplate_link_count)
+            _boilerplate_link_count, boilerplate_link_count_variants)
 
+        assert boilerplate_link_count_variants() == {_boilerplate_link_count()}
         assert _boilerplate_link_count() == 38
