@@ -55,6 +55,8 @@ HEAVY = int(os.environ.get("GRAFT_BENCH_HEAVY", "1"))
 # queries worth timing per-round (a representative spread of shapes)
 BENCH_QUERIES = [
     "extract_text",
+    "page_metadata",
+    "host_reputation",
     "schema_extraction",
     "extract_counters_by_lang",
     "exact_dedup",
