@@ -1721,30 +1721,12 @@ def q_unigram_logprob(sf_dir: str) -> Dataset:
     locally — index_in against the broadcast vocab + bincount fold, no
     per-token Python (judge round-4 per-token-loop family). p(t) =
     count(t)/total over the full corpus; both sides compute ln
-    identically (libm doubles)."""
-    from ..functions.tokenize import flat_tokens, token_counts
+    identically (libm doubles). LM build shared with
+    ``perplexity_buckets`` (``_unigram_logp_ref``)."""
+    from ..functions.tokenize import flat_tokens
 
     docs = _docs(sf_dir, ["doc_id", "text"])
-
-    def tf_partial(b: pa.Table) -> pa.Table:
-        toks, cnts = token_counts(b.column("text"))
-        return pa.table({"token": toks, "n": cnts.cast(pa.int64())})
-
-    freq = (
-        docs.map_batches(tf_partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n"))
-    ).to_pandas()  # bounded by vocabulary (prune by min count at web scale)
-    total = int(freq["n"].sum())
-    # broadcast as aligned (vocab array, per-term log-prob): the log table
-    # is computed ONCE driver-side with math.log — bit-exact with the
-    # scalar loop it replaced (np.log drifts ~1 ulp from libm on a quarter
-    # of inputs, measured) — and per-batch lookup is one Arrow index_in
-    import math
-
-    logp = np.fromiter((math.log(int(c) / total) for c in freq["n"]),
-                       dtype=np.float64, count=len(freq))
-    freq_ref = ray.put((pa.array(freq["token"], pa.string()), logp))
+    freq_ref = _unigram_logp_ref(docs)
 
     def score(b: pa.Table) -> pa.Table:
         vocab, logp_tbl = ray.get(freq_ref)
@@ -4068,6 +4050,195 @@ def q_discovered_schema(sf_dir: str) -> pd.DataFrame:
     })
 
 
+# ---------------------------------------------------------------------------
+# round-5 additions: corpus-fit signals + exact-k sampling
+# ---------------------------------------------------------------------------
+
+def _unigram_logp_ref(docs: Dataset):  # noqa: ANN202 — ray.ObjectRef
+    """Corpus unigram log-prob table, broadcast once: one token-count
+    shuffle (bounded by vocabulary), then the driver computes ln(c/total)
+    per term with ``math.log`` (bit-exact with the scalar loop the Arrow
+    path replaced — np.log drifts ~1 ulp from libm on a quarter of
+    inputs, measured). Shared by ``unigram_logprob`` (per-doc scores) and
+    ``perplexity_buckets`` (scores -> per-lang tertiles)."""
+    import math
+
+    from ..functions.tokenize import token_counts
+
+    def tf_partial(b: pa.Table) -> pa.Table:
+        toks, cnts = token_counts(b.column("text"))
+        return pa.table({"token": toks, "n": cnts.cast(pa.int64())})
+
+    freq = (
+        docs.map_batches(tf_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    ).to_pandas()  # bounded by vocabulary (prune by min count at web scale)
+    total = int(freq["n"].sum())
+    logp = np.fromiter((math.log(int(c) / total) for c in freq["n"]),
+                       dtype=np.float64, count=len(freq))
+    return ray.put((pa.array(freq["token"], pa.string()), logp))
+
+
+def q_perplexity_buckets(sf_dir: str) -> Dataset:
+    """CCNet-style head/middle/tail bucketing: score every document with
+    the corpus's own unigram LM (mean per-token log-prob, the
+    ``unigram_logprob`` kernel), then split each language into score
+    tertiles — 'head' = most in-distribution third, 'tail' = junkiest.
+    CCNet (Wenzek et al. 2020) uses exactly this per-lang
+    perplexity-tertile partition to grade Common-Crawl quality.
+
+    Distributed shape: one vocab-bounded shuffle builds the LM; scores are
+    one streaming pass (broadcast log-prob table, bincount fold); the
+    tertile thresholds come from a distinct-(lang, rounded-score) COUNT
+    table — bounded by |langs| x 10^4ish distinct 4dp scores, never the
+    corpus — cumulative-summed on the driver (the `quantiles`
+    rank-algebra pattern); assignment is a second streaming pass against
+    the broadcast 2-per-lang threshold map. Threshold rule =
+    percentile_disc: the score at 1-based rank ceil(n/3) (ties share a
+    bucket; both sides compare identical snapped doubles)."""
+    from ..functions.tokenize import flat_tokens
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "text"])
+    logp_ref = _unigram_logp_ref(docs)
+
+    def score(b: pa.Table) -> pa.Table:
+        vocab, logp_tbl = ray.get(logp_ref)
+        toks, row_idx = flat_tokens(b.column("text"))
+        n = np.bincount(row_idx, minlength=len(b)).astype(np.int64)
+        pos = pc.index_in(toks, value_set=vocab).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sums = np.bincount(row_idx, weights=logp_tbl[pos], minlength=len(b))
+        keep = n > 0  # tokenless docs have no score (oracle: inner join)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            lp = _np_round(sums / n, 4)
+        return pa.table({
+            "doc_id": b.column("doc_id").filter(pa.array(keep)),
+            "lang": b.column("lang").filter(pa.array(keep)),
+            "mean_logprob": pa.array(lp[keep], pa.float64()),
+        })
+
+    scores = docs.map_batches(score, batch_format="pyarrow").materialize()
+
+    # bounded distinct-(lang, score) count table -> driver rank algebra
+    counts = (scores.groupby(["lang", "mean_logprob"])
+              .aggregate(Count(alias_name="c"))).to_pandas()
+    thresholds: dict[str, tuple[float, float]] = {}
+    for lang, g in counts.groupby("lang", sort=False):
+        g = g.sort_values("mean_logprob", kind="mergesort")
+        cum = g["c"].to_numpy().cumsum()
+        n = int(cum[-1])
+        s = g["mean_logprob"].to_numpy()
+        t1 = float(s[int(np.searchsorted(cum, int(np.ceil(n / 3.0))))])
+        t2 = float(s[int(np.searchsorted(cum, int(np.ceil(2.0 * n / 3.0))))])
+        thresholds[str(lang)] = (t1, t2)
+    thr_ref = ray.put(thresholds)
+
+    def assign(b: pa.Table) -> pa.Table:
+        thr = ray.get(thr_ref)
+        langs = np.asarray(b.column("lang").to_pylist(), dtype=object)
+        s = b.column("mean_logprob").to_numpy(zero_copy_only=False)
+        t1v = np.full(len(s), -np.inf)
+        t2v = np.full(len(s), -np.inf)
+        for lang, (a, c) in thr.items():  # |langs| vectorized passes
+            m = langs == lang
+            t1v[m], t2v[m] = a, c
+        bucket = np.where(s <= t1v, "tail",
+                          np.where(s <= t2v, "middle", "head"))
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "lang": b.column("lang"),
+            "mean_logprob": b.column("mean_logprob"),
+            "bucket": pa.array(bucket, pa.string()),
+        })
+
+    return scores.map_batches(assign, batch_format="pyarrow")
+
+
+OOV_VOCAB_K = 16  # reference-vocab size (corpus vocabulary is ~31 terms)
+
+
+def q_oov_rate(sf_dir: str) -> Dataset:
+    """Tokenizer-fit signal: per-document share of tokens OUTSIDE the
+    corpus's top-``OOV_VOCAB_K`` vocabulary (by global count, ties broken
+    by token ascending). High OOV share marks documents a fixed-vocab
+    tokenizer would fragment — the standard junk/coverage screen run
+    before committing a tokenizer to a corpus.
+
+    One vocab-bounded shuffle builds term counts; the driver picks the
+    top-K table (K rows) and broadcasts it; rates are one streaming pass
+    (``is_in`` + bincount fold, no per-token Python)."""
+    from ..functions.tokenize import flat_tokens, token_counts
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def tf_partial(b: pa.Table) -> pa.Table:
+        toks, cnts = token_counts(b.column("text"))
+        return pa.table({"token": toks, "n": cnts.cast(pa.int64())})
+
+    freq = (
+        docs.map_batches(tf_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    ).to_pandas()  # bounded by vocabulary
+    freq = freq.sort_values(["n", "token"], ascending=[False, True],
+                            kind="mergesort").head(OOV_VOCAB_K)
+    vocab_ref = ray.put(pa.array(freq["token"], pa.string()))
+
+    def rate(b: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        toks, row_idx = flat_tokens(b.column("text"))
+        n = np.bincount(row_idx, minlength=len(b)).astype(np.int64)
+        inv = pc.is_in(toks, value_set=vocab).to_numpy(zero_copy_only=False)
+        oov = np.bincount(row_idx, weights=(~inv).astype(np.float64),
+                          minlength=len(b)).astype(np.int64)
+        keep = n > 0  # tokenless docs have no rate (oracle: per-token group)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            share = _np_round(oov / n, 6)
+        return pa.table({
+            "doc_id": b.column("doc_id").filter(pa.array(keep)),
+            "n_tokens": pa.array(n[keep], pa.int64()),
+            "oov_tokens": pa.array(oov[keep], pa.int64()),
+            "oov_share": pa.array(share[keep], pa.float64()),
+        })
+
+    return docs.map_batches(rate, batch_format="pyarrow")
+
+
+BOTTOMK_K = 100  # exact sample size
+
+
+def q_bottomk_sample(sf_dir: str) -> pd.DataFrame:
+    """Exact-k uniform sample via a bottom-k (KMV) sketch: keep the K docs
+    with the smallest ``splitmix64(doc_id)`` — a deterministic,
+    rerun/cluster-stable uniform sample of EXACTLY K rows (hash_sample's
+    keep-if-top-byte rule yields a binomial count, not exact k).
+
+    Distributed shape: each batch contributes its own k smallest
+    (``np.argpartition``, no sort of the batch), so the driver folds
+    <= K x blocks candidate rows — never the corpus. The same partial
+    top-k pattern serves any global ORDER BY + LIMIT at scale."""
+    from ..functions.fasthash import splitmix64
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hv = splitmix64(d.astype(np.uint64))
+        if len(d) > BOTTOMK_K:
+            idx = np.argpartition(hv, BOTTOMK_K - 1)[:BOTTOMK_K]
+            b = b.take(pa.array(idx))
+            hv = hv[idx]
+        return b.append_column("hv", pa.array(hv, pa.uint64()))
+
+    cands = (docs.map_batches(partial, batch_format="pyarrow")
+             .to_pandas())  # <= K x blocks rows
+    cands = cands.sort_values(["hv", "doc_id"], kind="mergesort")
+    return (cands.head(BOTTOMK_K)
+            .drop(columns=["hv"])
+            .reset_index(drop=True))
+
+
 def _lang_id_sql() -> str:
     """DuckDB restatement of stages/textstats.detect_language, with the
     profile word lists imported from the engine's own constants."""
@@ -4165,6 +4336,69 @@ _DUP_SPANS_CTE = r"""toks AS (
             )"""
 
 QUERIES: dict[str, dict] = {
+    "perplexity_buckets": {
+        "fn": q_perplexity_buckets,
+        "sql": rf"""
+            WITH tok AS (
+                SELECT doc_id, lang,
+                       unnest(regexp_extract_all(lower(text), '\S+')) AS token
+                FROM documents),
+            freq AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+            tot AS (SELECT count(*) AS total FROM tok),
+            scores AS (
+                SELECT doc_id, any_value(lang) AS lang,
+                       {_sql_round("avg(ln(CAST(f.n AS DOUBLE) / tot.total))", 4)} AS mean_logprob
+                FROM tok JOIN freq f USING (token) CROSS JOIN tot
+                GROUP BY doc_id),
+            rnk AS (
+                SELECT lang, mean_logprob,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY mean_logprob) AS r,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM scores),
+            thr AS (
+                SELECT lang,
+                       max(CASE WHEN r <= CAST(ceil(n / 3.0) AS BIGINT)
+                                THEN mean_logprob END) AS t1,
+                       max(CASE WHEN r <= CAST(ceil(2.0 * n / 3.0) AS BIGINT)
+                                THEN mean_logprob END) AS t2
+                FROM rnk GROUP BY lang)
+            SELECT s.doc_id, s.lang, s.mean_logprob,
+                   CASE WHEN s.mean_logprob <= t.t1 THEN 'tail'
+                        WHEN s.mean_logprob <= t.t2 THEN 'middle'
+                        ELSE 'head' END AS bucket
+            FROM scores s JOIN thr t USING (lang)
+        """,
+    },
+    "oov_rate": {
+        "fn": q_oov_rate,
+        "sql": rf"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '\S+')) AS token
+                FROM documents),
+            freq AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+            vocab AS (SELECT token FROM freq
+                      ORDER BY n DESC, token LIMIT {OOV_VOCAB_K}),
+            per AS (
+                SELECT t.doc_id, count(*) AS n,
+                       sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS oov
+                FROM tok t LEFT JOIN vocab v USING (token)
+                GROUP BY t.doc_id)
+            SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                   CAST(oov AS BIGINT) AS oov_tokens,
+                   {_sql_round("CAST(oov AS DOUBLE) / n", 6)} AS oov_share
+            FROM per
+        """,
+    },
+    "bottomk_sample": {
+        "fn": q_bottomk_sample,
+        "sql": f"""
+            SELECT doc_id, lang, n_chars FROM documents
+            ORDER BY ({_splitmix_hv_sql("doc_id")}), doc_id
+            LIMIT {BOTTOMK_K}
+        """,
+    },
     "host_reputation": {
         "fn": q_host_reputation,
         "sql": rf"""
@@ -5552,7 +5786,11 @@ _ROUND3_WINDOW_FIRST = [
 # sequence_packing), the curate-gate/contamination rework
 # (curation_funnel, contamination_flags), the HLL float-hash boundary fix
 # (approx_distinct_users), and the parse_date addition (schema_extraction).
+# Late round-5 additions (perplexity_buckets / oov_rate / bottomk_sample)
+# head the window; the three veterans they push past position 50 are all
+# r02/r03-green and stay covered by the check_oracles full sweeps.
 _ROUND5_WINDOW_HEAD = [
+    "perplexity_buckets", "oov_rate", "bottomk_sample",
     "host_reputation", "page_metadata", "pdf_page_stats",
     "near_dup_clusters", "minhash_near_dups",
     "exact_dedup", "heavy_hitters", "top_terms_per_lang", "vocab_bigrams",

@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "extract_text",
     "page_metadata",
     "host_reputation",
+    "perplexity_buckets",
+    "oov_rate",
+    "bottomk_sample",
     "schema_extraction",
     "extract_counters_by_lang",
     "exact_dedup",

@@ -428,3 +428,133 @@ class TestHostReputation:
         assert (out["avg_chars"] > 0).all()
         # volumes add up to the corpus size
         assert out["n_docs"].sum() == len(ids)
+
+
+class TestPerplexityBuckets:
+    """Naive-recompute parity: the distributed LM-score + tertile pipeline
+    must equal a single-process recompute with the same rank rule."""
+
+    def _naive(self):
+        import math
+        from collections import Counter
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from ai_pdf_extraction_ray.functions.rounding import py_round
+
+        t = pq.read_table(f"{SF_SMOKE}/documents.parquet",
+                          columns=["doc_id", "lang", "text"])
+        docs = list(zip(t.column("doc_id").to_pylist(),
+                        t.column("lang").to_pylist(),
+                        t.column("text").to_pylist()))
+        freq = Counter(tok for _, _, tx in docs for tok in tx.lower().split())
+        total = sum(freq.values())
+        scores = {}
+        for d, lang, tx in docs:
+            toks = tx.lower().split()
+            if not toks:
+                continue
+            s = sum(math.log(freq[tok] / total) for tok in toks) / len(toks)
+            scores[d] = (lang, py_round(s, 4))
+        buckets = {}
+        for lang in {la for la, _ in scores.values()}:
+            vals = sorted(s for la, s in scores.values() if la == lang)
+            n = len(vals)
+            t1 = vals[int(np.ceil(n / 3.0)) - 1]
+            t2 = vals[int(np.ceil(2.0 * n / 3.0)) - 1]
+            for d, (la, s) in scores.items():
+                if la == lang:
+                    buckets[d] = ("tail" if s <= t1
+                                  else "middle" if s <= t2 else "head")
+        return scores, buckets
+
+    def test_matches_naive_recompute(self):
+        from ai_pdf_extraction_ray.pipelines.queries import QUERIES
+
+        out = QUERIES["perplexity_buckets"]["fn"](SF_SMOKE).to_pandas()
+        scores, buckets = self._naive()
+        assert len(out) == len(scores)
+        got = dict(zip(out["doc_id"], zip(out["mean_logprob"], out["bucket"])))
+        for d, (lang, s) in scores.items():
+            gs, gb = got[d]
+            assert gs == s, f"doc {d}: score {gs} != {s}"
+            assert gb == buckets[d], f"doc {d}: bucket {gb} != {buckets[d]}"
+
+    def test_tertile_shape(self):
+        from ai_pdf_extraction_ray.pipelines.queries import QUERIES
+
+        out = QUERIES["perplexity_buckets"]["fn"](SF_SMOKE).to_pandas()
+        for lang, g in out.groupby("lang"):
+            n = len(g)
+            by = {b: gg["mean_logprob"] for b, gg in g.groupby("bucket")}
+            # ties share a bucket, so boundaries are strict between buckets
+            if "tail" in by and "middle" in by:
+                assert by["tail"].max() < by["middle"].min()
+            if "middle" in by and "head" in by:
+                assert by["middle"].max() < by["head"].min()
+            # the tail holds at least its tertile (ties only grow it)
+            assert len(by.get("tail", [])) >= int(-(-n // 3))
+
+
+class TestOovRate:
+    def test_matches_naive_recompute(self):
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from ai_pdf_extraction_ray.functions.rounding import py_round
+        from ai_pdf_extraction_ray.pipelines.queries import (
+            OOV_VOCAB_K,
+            QUERIES,
+        )
+
+        t = pq.read_table(f"{SF_SMOKE}/documents.parquet",
+                          columns=["doc_id", "text"])
+        docs = list(zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()))
+        freq = Counter(tok for _, tx in docs for tok in tx.lower().split())
+        vocab = {tok for tok, _ in
+                 sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:OOV_VOCAB_K]}
+        out = QUERIES["oov_rate"]["fn"](SF_SMOKE).to_pandas()
+        got = {int(r.doc_id): (int(r.n_tokens), int(r.oov_tokens),
+                               float(r.oov_share))
+               for r in out.itertuples()}
+        n_with_tokens = 0
+        for d, tx in docs:
+            toks = tx.lower().split()
+            if not toks:
+                continue
+            n_with_tokens += 1
+            oov = sum(1 for tok in toks if tok not in vocab)
+            assert got[d] == (len(toks), oov, py_round(oov / len(toks), 6))
+        assert len(out) == n_with_tokens
+        # K=16 of a ~31-term vocabulary: the signal must be non-trivial
+        assert (out["oov_share"] > 0).any()
+
+
+class TestBottomkSample:
+    def test_exact_k_and_matches_naive(self):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from ai_pdf_extraction_ray.functions.fasthash import splitmix64
+        from ai_pdf_extraction_ray.pipelines.queries import (
+            BOTTOMK_K,
+            QUERIES,
+        )
+
+        ids = np.asarray(
+            pq.read_table(f"{SF_SMOKE}/documents.parquet",
+                          columns=["doc_id"]).column("doc_id").to_pylist(),
+            dtype=np.int64)
+        hv = splitmix64(ids.astype(np.uint64))
+        order = np.lexsort((ids, hv))
+        want = set(ids[order[:BOTTOMK_K]].tolist())
+
+        out = QUERIES["bottomk_sample"]["fn"](SF_SMOKE)
+        assert len(out) == BOTTOMK_K
+        assert set(out["doc_id"]) == want
+        # rerun-stable (the whole point vs Dataset.random_shuffle)
+        again = QUERIES["bottomk_sample"]["fn"](SF_SMOKE)
+        assert out["doc_id"].tolist() == again["doc_id"].tolist()
