@@ -4239,6 +4239,73 @@ def q_bottomk_sample(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+SELF_DUP_WIN = 3  # tokens per window; stride 1 (intra-doc repetition grain)
+
+
+def q_self_dup_spans(sf_dir: str) -> Dataset:
+    """WITHIN-document repetition localization (the MassiveText/Gopher
+    intra-doc duplication signal, localized): dense ``SELF_DUP_WIN``-token
+    windows (stride 1) over each document; a window whose n-gram occurred
+    at an earlier position IN THE SAME DOC is a duplicate; overlapping
+    duplicate windows merge into maximal token spans — the intervals an
+    in-place repetition scrub would cut. Complements ``dup_spans`` (the
+    CROSS-corpus variant): same span semantics, opposite scope.
+
+    Scale shape: embarrassingly parallel — one streaming pass, ZERO
+    shuffle (every comparison is doc-local); per doc, window hashes come
+    from the vectorized polynomial span kernel, first occurrences from
+    one lexsort over (hash, position), and the interval merge is
+    vectorized (stride-1 fixed-width windows make the running-max merge a
+    single gap compare). 128-bit hash equality stands in for n-gram
+    equality exactly as in ``dup_spans``."""
+    from ..functions.fasthash import _MPOLY, _POLY1, token_spans
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    W = SELF_DUP_WIN
+
+    def spans(b: pa.Table) -> pa.Table:
+        out_d: list[int] = []
+        out_s: list[np.ndarray] = []
+        out_e: list[np.ndarray] = []
+        for d, t in zip(b.column("doc_id").to_pylist(),
+                        b.column("text").to_pylist()):
+            data, starts, ends = token_spans(t or "")
+            n = len(starts)
+            n_win = n - W + 1
+            if n_win < 2:  # <2 windows can't contain a repeat
+                continue
+            idx = np.arange(n_win, dtype=np.int64)
+            dh = _POLY1.span_hashes(data, starts[idx], ends[idx + W - 1])
+            dl = _MPOLY.span_hashes(data, starts[idx], ends[idx + W - 1])
+            order = np.lexsort((idx, dl, dh))
+            sh, sl = dh[order], dl[order]
+            first_of_group = np.ones(n_win, dtype=bool)
+            first_of_group[1:] = (sh[1:] != sh[:-1]) | (sl[1:] != sl[:-1])
+            dup_pos = np.sort(order[~first_of_group])  # 0-based window starts
+            if len(dup_pos) == 0:
+                continue
+            # stride-1 fixed-W intervals [p, p+W): islands split where the
+            # next start clears the previous window's end
+            gap = np.ones(len(dup_pos), dtype=bool)
+            gap[1:] = dup_pos[1:] > dup_pos[:-1] + W
+            heads = np.where(gap)[0]
+            tails = np.append(heads[1:], len(dup_pos)) - 1
+            out_d.extend([d] * len(heads))
+            out_s.append(dup_pos[heads])
+            out_e.append(dup_pos[tails] + W)
+        return pa.table({
+            "doc_id": pa.array(out_d, pa.int64()),
+            "span_start": pa.array(
+                np.concatenate(out_s) if out_s else
+                np.empty(0, dtype=np.int64), pa.int64()),
+            "span_end": pa.array(
+                np.concatenate(out_e) if out_e else
+                np.empty(0, dtype=np.int64), pa.int64()),
+        })
+
+    return docs.map_batches(spans, batch_format="pyarrow")
+
+
 def _lang_id_sql() -> str:
     """DuckDB restatement of stages/textstats.detect_language, with the
     profile word lists imported from the engine's own constants."""
@@ -4397,6 +4464,47 @@ QUERIES: dict[str, dict] = {
             SELECT doc_id, lang, n_chars FROM documents
             ORDER BY ({_splitmix_hv_sql("doc_id")}), doc_id
             LIMIT {BOTTOMK_K}
+        """,
+    },
+    "self_dup_spans": {
+        "fn": q_self_dup_spans,
+        "sql": rf"""
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+                FROM documents),
+            wins AS (
+                SELECT doc_id,
+                       unnest(generate_series(
+                           1, greatest(0, len(t) - {SELF_DUP_WIN} + 1))) AS w,
+                       t
+                FROM toks),
+            grams AS (
+                SELECT doc_id, w,
+                       array_to_string(
+                           t[w : w + {SELF_DUP_WIN} - 1], ' ') AS gram
+                FROM wins),
+            firsts AS (
+                SELECT doc_id, gram, min(w) AS first_w
+                FROM grams GROUP BY doc_id, gram),
+            dups AS (
+                SELECT g.doc_id, g.w - 1 AS s, g.w - 1 + {SELF_DUP_WIN} AS e
+                FROM grams g
+                JOIN firsts f ON g.doc_id = f.doc_id AND g.gram = f.gram
+                WHERE g.w <> f.first_w),
+            ord AS (
+                SELECT doc_id, s, e,
+                       max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev_max
+                FROM dups),
+            isl AS (
+                SELECT doc_id, s, e,
+                       sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                                THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+                FROM ord)
+            SELECT doc_id, min(s) AS span_start, max(e) AS span_end
+            FROM isl GROUP BY doc_id, island
         """,
     },
     "host_reputation": {
@@ -5790,7 +5898,7 @@ _ROUND3_WINDOW_FIRST = [
 # head the window; the three veterans they push past position 50 are all
 # r02/r03-green and stay covered by the check_oracles full sweeps.
 _ROUND5_WINDOW_HEAD = [
-    "perplexity_buckets", "oov_rate", "bottomk_sample",
+    "perplexity_buckets", "oov_rate", "bottomk_sample", "self_dup_spans",
     "host_reputation", "page_metadata", "pdf_page_stats",
     "near_dup_clusters", "minhash_near_dups",
     "exact_dedup", "heavy_hitters", "top_terms_per_lang", "vocab_bigrams",

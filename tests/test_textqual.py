@@ -558,3 +558,45 @@ class TestBottomkSample:
         # rerun-stable (the whole point vs Dataset.random_shuffle)
         again = QUERIES["bottomk_sample"]["fn"](SF_SMOKE)
         assert out["doc_id"].tolist() == again["doc_id"].tolist()
+
+
+class TestSelfDupSpans:
+    def _naive(self):
+        import pyarrow.parquet as pq
+
+        from ai_pdf_extraction_ray.pipelines.queries import SELF_DUP_WIN as W
+
+        t = pq.read_table(f"{SF_SMOKE}/documents.parquet",
+                          columns=["doc_id", "text"])
+        want = set()
+        for d, tx in zip(t.column("doc_id").to_pylist(),
+                         t.column("text").to_pylist()):
+            toks = (tx or "").lower().split()
+            seen: dict[tuple, int] = {}
+            dups = []
+            for w in range(len(toks) - W + 1):
+                g = tuple(toks[w:w + W])
+                if g in seen:
+                    dups.append(w)
+                else:
+                    seen[g] = w
+            spans = []
+            for p in dups:  # merge [p, p+W) islands
+                if spans and p <= spans[-1][1]:
+                    spans[-1][1] = max(spans[-1][1], p + W)
+                else:
+                    spans.append([p, p + W])
+            want.update((d, s, e) for s, e in spans)
+        return want
+
+    def test_matches_naive_recompute(self):
+        from ai_pdf_extraction_ray.pipelines.queries import QUERIES
+
+        out = QUERIES["self_dup_spans"]["fn"](SF_SMOKE).to_pandas()
+        got = {(int(r.doc_id), int(r.span_start), int(r.span_end))
+               for r in out.itertuples()}
+        want = self._naive()
+        assert got == want
+        assert len(out) == len(got)  # no duplicate span rows
+        # the signal is non-trivial on this corpus at W=3
+        assert len(want) > 0
