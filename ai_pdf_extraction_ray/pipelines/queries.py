@@ -4054,26 +4054,42 @@ def q_discovered_schema(sf_dir: str) -> pd.DataFrame:
 # round-5 additions: corpus-fit signals + exact-k sampling
 # ---------------------------------------------------------------------------
 
-def _unigram_logp_ref(docs: Dataset):  # noqa: ANN202 — ray.ObjectRef
-    """Corpus unigram log-prob table, broadcast once: one token-count
-    shuffle (bounded by vocabulary), then the driver computes ln(c/total)
-    per term with ``math.log`` (bit-exact with the scalar loop the Arrow
-    path replaced — np.log drifts ~1 ulp from libm on a quarter of
-    inputs, measured). Shared by ``unigram_logprob`` (per-doc scores) and
-    ``perplexity_buckets`` (scores -> per-lang tertiles)."""
-    import math
+def _token_freq(docs: Dataset) -> pd.DataFrame:
+    """Corpus term-frequency table (token, n): per-batch ``value_counts``
+    partials -> one vocabulary-bounded groupby (prune by min count at web
+    scale). THE tokenization/count rule for every vocab consumer —
+    ``unigram_logprob``/``perplexity_buckets`` (via ``_unigram_logp_ref``)
+    and ``oov_rate`` share this one build (review finding: two copies let
+    the LM vocabulary and the OOV vocabulary drift apart).
 
+    Deliberately NOT materializing ``docs`` even though callers scan it
+    again afterwards: re-reading pruned parquet columns is cheaper than
+    pinning the full text corpus in the object store between passes (the
+    CLAUDE.md materialize-if-consumed-twice rule trades the other way for
+    slim derived tables)."""
     from ..functions.tokenize import token_counts
 
     def tf_partial(b: pa.Table) -> pa.Table:
         toks, cnts = token_counts(b.column("text"))
         return pa.table({"token": toks, "n": cnts.cast(pa.int64())})
 
-    freq = (
+    return (
         docs.map_batches(tf_partial, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("n", alias_name="n"))
-    ).to_pandas()  # bounded by vocabulary (prune by min count at web scale)
+    ).to_pandas()  # bounded by vocabulary
+
+
+def _unigram_logp_ref(docs: Dataset):  # noqa: ANN202 — ray.ObjectRef
+    """Corpus unigram log-prob table, broadcast once: ``_token_freq``'s
+    bounded shuffle, then the driver computes ln(c/total) per term with
+    ``math.log`` (bit-exact with the scalar loop the Arrow path replaced —
+    np.log drifts ~1 ulp from libm on a quarter of inputs, measured).
+    Shared by ``unigram_logprob`` (per-doc scores) and
+    ``perplexity_buckets`` (scores -> per-lang tertiles)."""
+    import math
+
+    freq = _token_freq(docs)
     total = int(freq["n"].sum())
     logp = np.fromiter((math.log(int(c) / total) for c in freq["n"]),
                        dtype=np.float64, count=len(freq))
@@ -4165,24 +4181,16 @@ def q_oov_rate(sf_dir: str) -> Dataset:
     tokenizer would fragment — the standard junk/coverage screen run
     before committing a tokenizer to a corpus.
 
-    One vocab-bounded shuffle builds term counts; the driver picks the
-    top-K table (K rows) and broadcasts it; rates are one streaming pass
+    One vocab-bounded shuffle builds term counts (``_token_freq``, shared
+    with the unigram-LM queries); the driver picks the top-K table
+    (K rows) and broadcasts it; rates are one streaming pass
     (``is_in`` + bincount fold, no per-token Python)."""
-    from ..functions.tokenize import flat_tokens, token_counts
+    from ..functions.tokenize import flat_tokens
 
     docs = _docs(sf_dir, ["doc_id", "text"])
-
-    def tf_partial(b: pa.Table) -> pa.Table:
-        toks, cnts = token_counts(b.column("text"))
-        return pa.table({"token": toks, "n": cnts.cast(pa.int64())})
-
-    freq = (
-        docs.map_batches(tf_partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n"))
-    ).to_pandas()  # bounded by vocabulary
-    freq = freq.sort_values(["n", "token"], ascending=[False, True],
-                            kind="mergesort").head(OOV_VOCAB_K)
+    freq = _token_freq(docs).sort_values(
+        ["n", "token"], ascending=[False, True],
+        kind="mergesort").head(OOV_VOCAB_K)
     vocab_ref = ray.put(pa.array(freq["token"], pa.string()))
 
     def rate(b: pa.Table) -> pa.Table:
@@ -5894,9 +5902,11 @@ _ROUND3_WINDOW_FIRST = [
 # sequence_packing), the curate-gate/contamination rework
 # (curation_funnel, contamination_flags), the HLL float-hash boundary fix
 # (approx_distinct_users), and the parse_date addition (schema_extraction).
-# Late round-5 additions (perplexity_buckets / oov_rate / bottomk_sample)
-# head the window; the three veterans they push past position 50 are all
-# r02/r03-green and stay covered by the check_oracles full sweeps.
+# Late round-5 additions (perplexity_buckets / oov_rate / bottomk_sample /
+# self_dup_spans) head the window; the FOUR veterans they push past
+# position 50 (customers_semi_join_bloom, customers_anti_join,
+# orders_rollup, orders_cube) are all r04-green (CORRECTNESS_r04.json)
+# and stay covered by the check_oracles full sweeps.
 _ROUND5_WINDOW_HEAD = [
     "perplexity_buckets", "oov_rate", "bottomk_sample", "self_dup_spans",
     "host_reputation", "page_metadata", "pdf_page_stats",

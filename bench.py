@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "perplexity_buckets",
     "oov_rate",
     "bottomk_sample",
+    "self_dup_spans",
     "schema_extraction",
     "extract_counters_by_lang",
     "exact_dedup",
