@@ -58,6 +58,7 @@ INVOICE_SCHEMA = SchemaDefinition(
 )
 
 from ..sources.corpus import N_HOSTS as _N_HOSTS  # noqa: E402
+from ..stages.dedup import NGRAM_DF_CAP as _NGRAM_DF_CAP  # noqa: E402
 from ..stages.textstats import (  # noqa: E402
     CONTAM_BENCH_MOD as _CB_MOD,
     CONTAM_BENCH_RESIDUE as _CB_RES,
@@ -146,6 +147,41 @@ def q_extract_text(sf_dir: str) -> Dataset:
     """
     ext = run_extraction(pages_dataset(sf_dir))
     return ext.select_columns(["url", "kind", "text", "lang"])
+
+
+def q_extract_spans(sf_dir: str) -> Dataset:
+    """Char-span offsets per extracted block (the north-star's second output
+    surface: 'extracted text AND char-span offsets per document').
+
+    Both lanes emit one span per content block over the '\\n\\n'-joined
+    text (html_extract.py:369-375, pdf_extract.py:419-423: start = running
+    offset, end = start + len(block), separator = 2 chars), so the oracle
+    reproduces them exactly by splitting the ground-truth text on the
+    separator and running a cumulative-length window. The explode is a
+    zero-copy Arrow list flatten — no per-row Python."""
+    ext = run_extraction(pages_dataset(sf_dir))
+    return ext.select_columns(["url", "spans"]).map_batches(
+        explode_spans, batch_format="pyarrow")
+
+
+def explode_spans(b: pa.Table) -> pa.Table:
+    """(url, spans: list<struct>) rows -> one (url, block, start, end) row
+    per span, via Arrow list flatten + parent indices (no per-row Python).
+    A row with zero spans (error/empty lane) contributes no output row."""
+    spans = b.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    parent = pc.list_parent_indices(spans)
+    flat = spans.flatten()
+    urls = b.column("url")
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    return pa.table({
+        "url": urls.take(parent),
+        "block": flat.field("field"),
+        "span_start": flat.field("start").cast(pa.int64()),
+        "span_end": flat.field("end").cast(pa.int64()),
+    })
 
 
 def q_schema_extraction(sf_dir: str) -> Dataset:
@@ -2090,6 +2126,18 @@ def q_minhash_near_dups(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import minhash_near_dups
 
     return minhash_near_dups(sf_dir, threshold=0.5)
+
+
+def q_ngram_jaccard_dups(sf_dir: str) -> pd.DataFrame:
+    """Exact word-trigram Jaccard near-dup pairs via rare-gram blocking —
+    the deterministic (non-probabilistic) sibling of minhash_near_dups:
+    an inverted k-gram index with a [2, NGRAM_DF_CAP] document-frequency
+    window generates candidates, exact distinct-trigram Jaccard verifies.
+    The df window is part of the operator definition (shared by the SQL
+    oracle), not an approximation."""
+    from ..stages.dedup import ngram_jaccard_dups
+
+    return ngram_jaccard_dups(sf_dir, threshold=0.8)
 
 
 def q_near_dup_clusters(sf_dir: str) -> Dataset:
@@ -4576,6 +4624,28 @@ QUERIES: dict[str, dict] = {
             FROM documents
         """,
     },
+    "extract_spans": {
+        "fn": q_extract_spans,
+        "sql": f"""
+            WITH parts AS (
+                SELECT {_URL_SQL} AS url,
+                       unnest(string_split(text, chr(10)||chr(10))) AS part,
+                       generate_subscripts(
+                           string_split(text, chr(10)||chr(10)), 1) AS i
+                FROM documents WHERE text IS NOT NULL AND text <> ''),
+            off AS (
+                SELECT url, i, part,
+                       coalesce(sum(length(part) + 2) OVER (
+                           PARTITION BY url ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS s
+                FROM parts)
+            SELECT url, 'block_' || CAST(i - 1 AS VARCHAR) AS block,
+                   CAST(s AS BIGINT) AS span_start,
+                   CAST(s + length(part) AS BIGINT) AS span_end
+            FROM off
+        """,
+    },
     "schema_extraction": {
         "fn": q_schema_extraction,
         "sql": f"""
@@ -5011,6 +5081,42 @@ QUERIES: dict[str, dict] = {
               FROM pairs
             )
             SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
+        """,
+    },
+    "ngram_jaccard_dups": {
+        "fn": q_ngram_jaccard_dups,
+        "sql": rf"""
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         range(1, greatest(len(t) - 1, 1)),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
+              FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+                    FROM documents)
+            ), g AS (
+              SELECT doc_id, unnest(grams) AS gram FROM sh
+            ), rare AS (
+              SELECT gram FROM g GROUP BY gram
+              HAVING count(*) >= 2 AND count(*) <= {_NGRAM_DF_CAP}
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM g a
+              JOIN rare r ON r.gram = a.gram
+              JOIN g b ON b.gram = a.gram AND a.doc_id < b.doc_id
+            ), scored AS (
+              SELECT c.doc_a, c.doc_b,
+                     CAST(round((CASE
+                          WHEN len(sa.grams) + len(sb.grams) = 0 THEN 1.0
+                          ELSE CAST(len(list_intersect(sa.grams, sb.grams))
+                                    AS DOUBLE)
+                               / (len(sa.grams) + len(sb.grams)
+                                  - len(list_intersect(sa.grams, sb.grams)))
+                          END) * 1000000) AS BIGINT) / 1000000.0 AS jaccard
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.doc_a
+              JOIN sh sb ON sb.doc_id = c.doc_b
+            )
+            SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.8
         """,
     },
     "near_dup_clusters": {
@@ -5902,12 +6008,14 @@ _ROUND3_WINDOW_FIRST = [
 # sequence_packing), the curate-gate/contamination rework
 # (curation_funnel, contamination_flags), the HLL float-hash boundary fix
 # (approx_distinct_users), and the parse_date addition (schema_extraction).
-# Late round-5 additions (perplexity_buckets / oov_rate / bottomk_sample /
-# self_dup_spans) head the window; the FOUR veterans they push past
-# position 50 (customers_semi_join_bloom, customers_anti_join,
-# orders_rollup, orders_cube) are all r04-green (CORRECTNESS_r04.json)
-# and stay covered by the check_oracles full sweeps.
+# Late round-5 additions (extract_spans / ngram_jaccard_dups /
+# perplexity_buckets / oov_rate / bottomk_sample / self_dup_spans) head the
+# window; the veterans they push past position 50
+# (customers_semi_join_bloom, customers_anti_join, orders_rollup,
+# orders_cube, monthly_revenue_delta, lineitem_corr) are all r04-green
+# (CORRECTNESS_r04.json) and stay covered by the check_oracles full sweeps.
 _ROUND5_WINDOW_HEAD = [
+    "extract_spans", "ngram_jaccard_dups",
     "perplexity_buckets", "oov_rate", "bottomk_sample", "self_dup_spans",
     "host_reputation", "page_metadata", "pdf_page_stats",
     "near_dup_clusters", "minhash_near_dups",

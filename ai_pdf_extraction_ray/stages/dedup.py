@@ -286,7 +286,8 @@ def minhash_candidate_pairs(
 
 
 def verify_pairs_jaccard(
-    cand: Dataset, docs: Dataset, *, k: int = 3, num_partitions: int | None = None
+    cand: Dataset, docs: Dataset, *, k: int = 3,
+    num_partitions: int | None = None, n_pairs: int | None = None,
 ) -> Dataset:
     """Distributed exact-Jaccard verify: join candidate id pairs back to the
     corpus for each side (``Dataset.join`` — the join moves candidate rows +
@@ -298,8 +299,13 @@ def verify_pairs_jaccard(
     emits schema-less empty blocks) must be COUNTED and routed through
     ``nonempty_blocks`` first — map_batches does not invoke UDFs on empty
     blocks, so no in-function stage can scrub them (review finding: an
-    earlier comment claimed the cast below did; it cannot). The only
-    caller, minhash_near_dups, does this at its call site."""
+    earlier comment claimed the cast below did; it cannot). Callers pass
+    that count as ``n_pairs`` (an inner join on a unique corpus key keeps
+    the row count, so it is reused to scrub the FIRST join's output too —
+    join partitions that matched nothing emit schema-less empty blocks
+    exactly like map_groups, and one of those seeding the SECOND join's
+    schema broadcast crashes it; hit whenever the pair set is smaller than
+    the partition fan-out, e.g. a single verified pair)."""
     def _typed(b: pa.Table) -> pa.Table:
         # dtype pin only (int64 pair ids for the join key resolution);
         # empty-block defense is the caller's nonempty_blocks, see above
@@ -313,6 +319,18 @@ def verify_pairs_jaccard(
         docs, join_type="inner", num_partitions=num_partitions,
         on=("doc_a",), right_on=("doc_id",),
     ).rename_columns({"text": "text_a"})
+    # Scrub join-1 output before it seeds join 2 (see docstring). Row count
+    # is n_pairs by construction (inner join on the unique doc_id); when the
+    # caller didn't pass it, one count on the materialized set is paid.
+    if n_pairs is None:
+        with_a = with_a.materialize()
+        n_pairs = with_a.count()
+    if n_pairs == 0:
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())}))
+    with_a = nonempty_blocks(with_a, n_pairs)
     with_ab = with_a.join(
         docs, join_type="inner", num_partitions=num_partitions,
         on=("doc_b",), right_on=("doc_id",),
@@ -409,9 +427,118 @@ def minhash_near_dup_pairs_ds(
     # session. Repartitioning the counted candidate set into guaranteed
     # non-empty blocks removes every empty block before the join.
     cand = nonempty_blocks(cand, n_pairs)
-    return (verify_pairs_jaccard(cand, docs, k=k)
+    return (verify_pairs_jaccard(cand, docs, k=k, n_pairs=n_pairs)
             .filter(expr=f"jaccard >= {threshold}")
             .materialize())
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard with rare-shingle blocking
+# ---------------------------------------------------------------------------
+
+# A k-gram shared by more documents than this stops being a blocking key.
+# High-df grams are boilerplate-grade (navigation chrome, licence footers):
+# their buckets would generate O(df^2) candidate pairs, while a genuine
+# near-dup pair at J >= 0.8 also shares many RARE grams, so dropping hot
+# grams only loses pairs whose entire overlap is corpus-common — exactly
+# the overlap a curation pipeline wants to ignore. The SQL oracle applies
+# the same [2, cap] document-frequency window, so the blocking is part of
+# the operator's *definition*, not an approximation of it.
+NGRAM_DF_CAP = 64
+
+
+def ngram_jaccard_pairs_ds(
+    sf_dir: str, *, k: int = 3, df_cap: int = NGRAM_DF_CAP,
+    threshold: float = 0.8,
+) -> Dataset:
+    """Exact word-k-gram Jaccard near-dup pairs via rare-gram blocking.
+
+    The deterministic sibling of MinHash LSH: candidates are generated from
+    an inverted k-gram index instead of signature bands — a pair qualifies
+    iff the docs share >= 1 gram with global document frequency in
+    [2, df_cap] AND their exact distinct-k-gram Jaccard >= threshold.
+
+    Shape at scale: the exploded (gram_hash, doc_id) index is the only wide
+    payload (16 bytes/row); the df window is one groupby-count; rare grams
+    rejoin the index with a hash join (distributed — the rare-gram set is
+    NOT broadcast, unlike the LSH hot-bucket prune, because on a heavily
+    duplicated corpus it is O(dup_docs x grams/doc), far larger than the
+    colliding LSH bucket population); per-gram groups are <= df_cap rows so
+    pair generation is bounded; the verify joins candidate ids back to text
+    (``verify_pairs_jaccard`` — shingle-memoized, distributed).
+    """
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        gs: list[np.ndarray] = []
+        ds_: list[np.ndarray] = []
+        for d, t in zip(ids, b.column("text").to_pylist()):
+            g = shingles(t or "", k)  # UNIQUE hashes: df counts docs, not hits
+            if len(g):
+                gs.append(g.view(np.int64))
+                ds_.append(np.full(len(g), d, dtype=np.int64))
+        if not gs:
+            return pa.table({"gram": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        return pa.table({"gram": pa.array(np.concatenate(gs), pa.int64()),
+                         "doc_id": pa.array(np.concatenate(ds_), pa.int64())})
+
+    # consumed twice (df count + index join) — pin the lineage once
+    index = docs.map_batches(explode, batch_format="pyarrow").materialize()
+
+    rare = (index.groupby("gram").aggregate(Count(alias_name="_n"))
+            .filter(expr="_n >= 2").filter(expr=f"_n <= {df_cap}")
+            .drop_columns(["_n"]))
+    n_rare = rare.count()
+    empty_pairs = pa.table({"doc_a": pa.array([], pa.int64()),
+                            "doc_b": pa.array([], pa.int64()),
+                            "jaccard": pa.array([], pa.float64())})
+    if n_rare == 0:
+        return rd.from_arrow(empty_pairs)
+    # groupby lineage -> scrub schema-less empty blocks before the join
+    rare = nonempty_blocks(rare, n_rare)
+    # index side is read->map_batches lineage: safe to join unguarded
+    blocked = rare.join(index, join_type="inner",
+                        num_partitions=_join_partitions(), on=("gram",))
+
+    def pairs(g: pa.Table) -> pa.Table:
+        # group size is in [2, df_cap] by construction: exact all-pairs.
+        # Arrow in/out — pandas blocks here make the downstream pair-dedup
+        # sort-aggregate ~18x slower (same hazard as the LSH pair stage).
+        ids = np.sort(g.column("doc_id").to_numpy(zero_copy_only=False))
+        ia, ib = np.triu_indices(len(ids), 1)
+        return pa.table({"doc_a": pa.array(ids[ia], pa.int64()),
+                         "doc_b": pa.array(ids[ib], pa.int64())})
+
+    cand = blocked.groupby("gram").map_groups(pairs, batch_format="pyarrow")
+    # dedupe pairs blocked by several grams: native aggregate, count discarded
+    cand = cand.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="_nb")).drop_columns(["_nb"]).materialize()
+    n_pairs = cand.count()
+    if n_pairs == 0:
+        return rd.from_arrow(empty_pairs)
+    cand = nonempty_blocks(cand, n_pairs)
+    return (verify_pairs_jaccard(cand, docs, k=k, n_pairs=n_pairs)
+            .filter(expr=f"jaccard >= {threshold}")
+            .materialize())
+
+
+def ngram_jaccard_dups(
+    sf_dir: str, *, k: int = 3, df_cap: int = NGRAM_DF_CAP,
+    threshold: float = 0.8,
+) -> pd.DataFrame:
+    """``ngram_jaccard_pairs_ds`` materialized to a sorted (doc_a, doc_b,
+    jaccard) frame — the verified pair set is the only driver payload."""
+    out = ngram_jaccard_pairs_ds(
+        sf_dir, k=k, df_cap=df_cap, threshold=threshold).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                             "doc_b": pd.Series(dtype="int64"),
+                             "jaccard": pd.Series(dtype="float64")})
+    return (out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+            .astype({"doc_a": "int64", "doc_b": "int64"}))
 
 
 # ---------------------------------------------------------------------------

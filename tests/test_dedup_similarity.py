@@ -654,3 +654,114 @@ class TestSimHashChunking:
         ref = D._simhash_batch(texts)
         monkeypatch.setattr(D, "_SIMHASH_CHUNK", 64)  # force tiny blocks
         assert np.array_equal(ref, D._simhash_batch(texts))
+
+
+class TestNgramJaccard:
+    def test_planted_family_found_hot_grams_do_not_block(
+            self, ray_session, tmp_path):
+        """Rare-gram blocking finds the near-dup pair and the exact-dup
+        pair, while docs whose ONLY shared grams exceed NGRAM_DF_CAP
+        (boilerplate) produce no candidates at all."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ai_pdf_extraction_ray.stages.dedup import (
+            NGRAM_DF_CAP,
+            ngram_jaccard_dups,
+        )
+
+        base = " ".join(f"w{i}" for i in range(50))
+        texts = [base, base + " tail"]          # near-dup pair (0, 1)
+        # boilerplate family: the 3 purely-boilerplate grams appear in
+        # every member (df = cap+5 > cap), boundary/unique grams are df=1
+        boiler = "subscribe to our newsletter now"
+        n_common = NGRAM_DF_CAP + 5
+        texts += [f"{boiler} unique{i}a unique{i}b unique{i}c"
+                  for i in range(n_common)]
+        dup_of_2 = texts[2]                      # exact dup: rare grams df=2
+        texts.append(dup_of_2)
+        tbl = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": texts,
+        })
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+
+        out = ngram_jaccard_dups(str(tmp_path), threshold=0.8)
+        got = set(zip(out.doc_a, out.doc_b))
+        assert got == {(0, 1), (2, len(texts) - 1)}
+        j = dict(zip(zip(out.doc_a, out.doc_b), out.jaccard))
+        # base: 48 grams, near: 49, intersection 48 -> 48/49 at 6dp
+        assert j[(0, 1)] == pytest.approx(round(48 / 49, 6), abs=1e-9)
+        assert j[(2, len(texts) - 1)] == 1.0
+
+    def test_candidate_below_threshold_excluded(self, ray_session, tmp_path):
+        """A pair sharing one rare gram but with low Jaccard is a candidate
+        yet must be filtered by the exact verify."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ai_pdf_extraction_ray.stages.dedup import ngram_jaccard_dups
+
+        shared = "alpha beta gamma"
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": [shared + " " + " ".join(f"x{i}" for i in range(30)),
+                     shared + " " + " ".join(f"y{i}" for i in range(30))],
+        })
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+        out = ngram_jaccard_dups(str(tmp_path), threshold=0.8)
+        assert len(out) == 0
+        assert list(out.columns) == ["doc_a", "doc_b", "jaccard"]
+
+    def test_no_rare_grams_returns_typed_empty(self, ray_session, tmp_path):
+        """Fully distinct docs: zero rare (df>=2) grams -> typed empty
+        frame, not a join crash."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ai_pdf_extraction_ray.stages.dedup import ngram_jaccard_dups
+
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": ["alpha beta gamma delta epsilon zeta",
+                     "one two three four five six seven"],
+        })
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+        out = ngram_jaccard_dups(str(tmp_path), threshold=0.8)
+        assert len(out) == 0
+        assert out.doc_a.dtype == "int64"
+
+    def test_single_pair_verify_survives_join_fanout(
+            self, ray_session, tmp_path):
+        """Regression: ONE candidate pair across a multi-partition verify.
+        Join-1 output partitions that matched nothing emit schema-less
+        empty blocks (same Ray 2.49 race as groupby output); before the
+        inter-join scrub in verify_pairs_jaccard one of them could seed
+        join 2's schema broadcast and crash it deterministically."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from ai_pdf_extraction_ray.stages.dedup import (
+            nonempty_blocks,
+            verify_pairs_jaccard,
+        )
+
+        t = " ".join(f"w{i}" for i in range(40))
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": [t, t + " tail"],
+        })
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+        docs = rd.read_parquet(str(tmp_path / "documents.parquet"),
+                               columns=["doc_id", "text"])
+        cand = rd.from_arrow(pa.table({
+            "doc_a": pa.array([0], pa.int64()),
+            "doc_b": pa.array([1], pa.int64())})).materialize()
+        cand = nonempty_blocks(cand, 1)
+        out = verify_pairs_jaccard(cand, docs, n_pairs=1).to_pandas()
+        assert len(out) == 1
+        assert out.jaccard[0] > 0.9
+        # the n_pairs=None path must self-count and survive identically
+        out2 = verify_pairs_jaccard(cand, docs).to_pandas()
+        assert out2.jaccard[0] == out.jaccard[0]

@@ -409,3 +409,57 @@ class TestPageMetadata:
 
         assert boilerplate_link_count_variants() == {_boilerplate_link_count()}
         assert _boilerplate_link_count() == 38
+
+
+class TestExplodeSpans:
+    def test_multi_span_rows_flatten_with_parent_urls(self):
+        """explode_spans must fan each row's span list out under its url,
+        skip zero-span rows, and preserve offsets — exercised with multi-
+        block rows the driver corpus (single-block docs) never produces."""
+        import pyarrow as pa
+
+        from ai_pdf_extraction_ray.pipelines.queries import explode_spans
+        from ai_pdf_extraction_ray.schema import SPAN_TYPE
+
+        spans = pa.array([
+            [{"field": "block_0", "start": 0, "end": 2},
+             {"field": "block_1", "start": 4, "end": 7}],
+            [],  # error/empty lane: contributes no row
+            [{"field": "block_0", "start": 0, "end": 5}],
+        ], pa.list_(SPAN_TYPE))
+        b = pa.table({"url": ["u0", "u1", "u2"], "spans": spans})
+        out = explode_spans(b)
+        assert out.column("url").to_pylist() == ["u0", "u0", "u2"]
+        assert out.column("block").to_pylist() == [
+            "block_0", "block_1", "block_0"]
+        assert out.column("span_start").to_pylist() == [0, 4, 0]
+        assert out.column("span_end").to_pylist() == [2, 7, 5]
+        assert out.schema.field("span_start").type == pa.int64()
+
+    def test_extractor_blocks_roundtrip_through_explode(self):
+        """End-to-end: a multi-block html payload through DocumentExtractor,
+        spans exploded, must tile the text exactly like the span property
+        test guarantees (2-char gaps)."""
+        import pyarrow as pa
+
+        from ai_pdf_extraction_ray.pipelines.queries import explode_spans
+        from ai_pdf_extraction_ray.schema import SPAN_TYPE
+        from ai_pdf_extraction_ray.stages.extract import DocumentExtractor
+
+        html = (b"<html><body><main><p>first paragraph of content here</p>"
+                b"<p>second paragraph with more words</p>"
+                b"<p>third one closes it out</p></main></body></html>")
+        ext = DocumentExtractor()
+        out = ext(pa.table({"url": ["https://e.com/x"], "html": [html]}))
+        text = out.column("text").to_pylist()[0]
+        assert "\n\n" in text  # genuinely multi-block
+        exploded = explode_spans(pa.table({
+            "url": out.column("url"),
+            "spans": out.column("spans").cast(pa.list_(SPAN_TYPE)),
+        }))
+        parts = text.split("\n\n")
+        assert exploded.num_rows == len(parts)
+        for i, (s, e) in enumerate(zip(
+                exploded.column("span_start").to_pylist(),
+                exploded.column("span_end").to_pylist())):
+            assert text[s:e] == parts[i]
