@@ -55,6 +55,8 @@ HEAVY = int(os.environ.get("GRAFT_BENCH_HEAVY", "1"))
 # queries worth timing per-round (a representative spread of shapes)
 BENCH_QUERIES = [
     "extract_text",
+    "extract_spans",
+    "ngram_jaccard_dups",
     "page_metadata",
     "host_reputation",
     "perplexity_buckets",
