@@ -58,7 +58,33 @@ INVOICE_SCHEMA = SchemaDefinition(
 )
 
 from ..sources.corpus import N_HOSTS as _N_HOSTS  # noqa: E402
-from ..stages.dedup import NGRAM_DF_CAP as _NGRAM_DF_CAP  # noqa: E402
+from ..stages.dedup import (  # noqa: E402
+    EDIT_DIST_MAX as _EDIT_DIST_MAX,
+    NGRAM_DF_CAP as _NGRAM_DF_CAP,
+)
+
+# rare-k-gram-blocked candidate pairs, single-sourced: the candidacy
+# definition (pairs sharing >= 1 gram with document frequency in
+# [2, NGRAM_DF_CAP]) is shared by ngram_jaccard_dups and edit_dist_dups —
+# one copy so the two oracles cannot drift (same rule as _BENCH_CTE_SQL)
+_RARE_CAND_CTE_SQL = rf"""sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         range(1, greatest(len(t) - 1, 1)),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
+              FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+                    FROM documents)
+            ), g AS (
+              SELECT doc_id, unnest(grams) AS gram FROM sh
+            ), rare AS (
+              SELECT gram FROM g GROUP BY gram
+              HAVING count(*) >= 2 AND count(*) <= {_NGRAM_DF_CAP}
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM g a
+              JOIN rare r ON r.gram = a.gram
+              JOIN g b ON b.gram = a.gram AND a.doc_id < b.doc_id
+            )"""
 from ..stages.textstats import (  # noqa: E402
     CONTAM_BENCH_MOD as _CB_MOD,
     CONTAM_BENCH_RESIDUE as _CB_RES,
@@ -2126,6 +2152,17 @@ def q_minhash_near_dups(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import minhash_near_dups
 
     return minhash_near_dups(sf_dir, threshold=0.5)
+
+
+def q_edit_dist_dups(sf_dir: str) -> pd.DataFrame:
+    """Character-edit-distance near-dup pairs: same rare-gram candidacy as
+    ngram_jaccard_dups, verified with exact banded Levenshtein <=
+    EDIT_DIST_MAX — the byte-level near-dup class (in-place date/counter/
+    typo edits) Jaccard treats as high-but-not-1 similarity. DuckDB's
+    levenshtein() restates the verify exactly."""
+    from ..stages.dedup import edit_distance_dups
+
+    return edit_distance_dups(sf_dir)
 
 
 def q_ngram_jaccard_dups(sf_dir: str) -> pd.DataFrame:
@@ -5083,27 +5120,22 @@ QUERIES: dict[str, dict] = {
             SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
         """,
     },
+    "edit_dist_dups": {
+        "fn": q_edit_dist_dups,
+        "sql": rf"""
+            WITH {_RARE_CAND_CTE_SQL}
+            SELECT c.doc_a, c.doc_b,
+                   CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+            FROM cand c
+            JOIN documents da ON da.doc_id = c.doc_a
+            JOIN documents db ON db.doc_id = c.doc_b
+            WHERE levenshtein(da.text, db.text) <= {_EDIT_DIST_MAX}
+        """,
+    },
     "ngram_jaccard_dups": {
         "fn": q_ngram_jaccard_dups,
         "sql": rf"""
-            WITH sh AS (
-              SELECT doc_id,
-                     list_distinct(list_transform(
-                         range(1, greatest(len(t) - 1, 1)),
-                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
-              FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
-                    FROM documents)
-            ), g AS (
-              SELECT doc_id, unnest(grams) AS gram FROM sh
-            ), rare AS (
-              SELECT gram FROM g GROUP BY gram
-              HAVING count(*) >= 2 AND count(*) <= {_NGRAM_DF_CAP}
-            ), cand AS (
-              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM g a
-              JOIN rare r ON r.gram = a.gram
-              JOIN g b ON b.gram = a.gram AND a.doc_id < b.doc_id
-            ), scored AS (
+            WITH {_RARE_CAND_CTE_SQL}, scored AS (
               SELECT c.doc_a, c.doc_b,
                      CAST(round((CASE
                           WHEN len(sa.grams) + len(sb.grams) = 0 THEN 1.0
@@ -6015,7 +6047,7 @@ _ROUND3_WINDOW_FIRST = [
 # orders_cube, monthly_revenue_delta, lineitem_corr) are all r04-green
 # (CORRECTNESS_r04.json) and stay covered by the check_oracles full sweeps.
 _ROUND5_WINDOW_HEAD = [
-    "extract_spans", "ngram_jaccard_dups",
+    "extract_spans", "ngram_jaccard_dups", "edit_dist_dups",
     "perplexity_buckets", "oov_rate", "bottomk_sample", "self_dup_spans",
     "host_reputation", "page_metadata", "pdf_page_stats",
     "near_dup_clusters", "minhash_near_dups",

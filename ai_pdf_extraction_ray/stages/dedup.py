@@ -285,6 +285,44 @@ def minhash_candidate_pairs(
     ).drop_columns(["_nb"])
 
 
+def _pairs_with_texts(
+    cand: Dataset, docs: Dataset, *,
+    num_partitions: int | None = None, n_pairs: int | None = None,
+) -> Dataset | None:
+    """Join a (doc_a, doc_b) candidate pair set back to the corpus text for
+    BOTH sides -> (doc_a, doc_b, text_a, text_b), or None if the pair set
+    is empty. Shared scaffold of every pairwise verify kernel (Jaccard,
+    edit distance); carries the inter-join empty-block scrub documented on
+    ``verify_pairs_jaccard``."""
+    def _typed(b: pa.Table) -> pa.Table:
+        # dtype pin only (int64 pair ids for the join key resolution);
+        # empty-block defense is the caller's nonempty_blocks
+        return pa.table({"doc_a": b.column("doc_a").cast(pa.int64()),
+                         "doc_b": b.column("doc_b").cast(pa.int64())})
+
+    cand = cand.map_batches(_typed, batch_format="pyarrow")
+    if num_partitions is None:
+        num_partitions = _join_partitions()
+    with_a = cand.join(
+        docs, join_type="inner", num_partitions=num_partitions,
+        on=("doc_a",), right_on=("doc_id",),
+    ).rename_columns({"text": "text_a"})
+    # Scrub join-1 output before it seeds join 2 (see verify_pairs_jaccard).
+    # Row count is n_pairs by construction (inner join on the unique
+    # doc_id); when the caller didn't pass it, one count on the
+    # materialized set is paid.
+    if n_pairs is None:
+        with_a = with_a.materialize()
+        n_pairs = with_a.count()
+    if n_pairs == 0:
+        return None
+    with_a = nonempty_blocks(with_a, n_pairs)
+    return with_a.join(
+        docs, join_type="inner", num_partitions=num_partitions,
+        on=("doc_b",), right_on=("doc_id",),
+    ).rename_columns({"text": "text_b"})
+
+
 def verify_pairs_jaccard(
     cand: Dataset, docs: Dataset, *, k: int = 3,
     num_partitions: int | None = None, n_pairs: int | None = None,
@@ -306,35 +344,13 @@ def verify_pairs_jaccard(
     exactly like map_groups, and one of those seeding the SECOND join's
     schema broadcast crashes it; hit whenever the pair set is smaller than
     the partition fan-out, e.g. a single verified pair)."""
-    def _typed(b: pa.Table) -> pa.Table:
-        # dtype pin only (int64 pair ids for the join key resolution);
-        # empty-block defense is the caller's nonempty_blocks, see above
-        return pa.table({"doc_a": b.column("doc_a").cast(pa.int64()),
-                         "doc_b": b.column("doc_b").cast(pa.int64())})
-
-    cand = cand.map_batches(_typed, batch_format="pyarrow")
-    if num_partitions is None:
-        num_partitions = _join_partitions()
-    with_a = cand.join(
-        docs, join_type="inner", num_partitions=num_partitions,
-        on=("doc_a",), right_on=("doc_id",),
-    ).rename_columns({"text": "text_a"})
-    # Scrub join-1 output before it seeds join 2 (see docstring). Row count
-    # is n_pairs by construction (inner join on the unique doc_id); when the
-    # caller didn't pass it, one count on the materialized set is paid.
-    if n_pairs is None:
-        with_a = with_a.materialize()
-        n_pairs = with_a.count()
-    if n_pairs == 0:
+    with_ab = _pairs_with_texts(
+        cand, docs, num_partitions=num_partitions, n_pairs=n_pairs)
+    if with_ab is None:
         return rd.from_arrow(pa.table({
             "doc_a": pa.array([], pa.int64()),
             "doc_b": pa.array([], pa.int64()),
             "jaccard": pa.array([], pa.float64())}))
-    with_a = nonempty_blocks(with_a, n_pairs)
-    with_ab = with_a.join(
-        docs, join_type="inner", num_partitions=num_partitions,
-        on=("doc_b",), right_on=("doc_id",),
-    ).rename_columns({"text": "text_b"})
 
     def jac_batch(b: pa.Table) -> pa.Table:
         # Each doc appears in as many pairs as it has candidates — on a
@@ -447,18 +463,22 @@ def minhash_near_dup_pairs_ds(
 NGRAM_DF_CAP = 64
 
 
-def ngram_jaccard_pairs_ds(
-    sf_dir: str, *, k: int = 3, df_cap: int = NGRAM_DF_CAP,
-    threshold: float = 0.8,
-) -> Dataset:
-    """Exact word-k-gram Jaccard near-dup pairs via rare-gram blocking.
+def rare_blocked_pair_stats(
+    docs: Dataset, *, k: int = 3, df_cap: int = NGRAM_DF_CAP,
+    row_keep=None,  # noqa: ANN001 — vectorized (n_a, n_b) -> bool mask
+) -> tuple[Dataset | None, int]:
+    """(doc_id, text) -> deduplicated candidate-pair statistics for every
+    doc pair sharing >= 1 k-gram with document frequency in [2, df_cap].
 
-    The deterministic sibling of MinHash LSH: candidates are generated from
-    an inverted k-gram index instead of signature bands — a pair qualifies
-    iff the docs share >= 1 gram with global document frequency in
-    [2, df_cap] AND their exact distinct-k-gram Jaccard >= threshold.
+    Shared candidate stage of the set-similarity operators (n-gram
+    Jaccard, edit distance). Returns ``(stats, n_cand)`` — ``stats``
+    columns: doc_a, doc_b, c_rare (EXACT count of shared rare grams),
+    n_a/n_b (each side's distinct-gram total) and, when the corpus has
+    above-cap grams, h_a/h_b (each side's hot-gram count; null = 0) —
+    or ``(None, 0)`` when no candidates exist. ``stats`` is materialized
+    and scrubbed (safe to feed joins).
 
-    Shape at scale (PPJoin-style set-similarity join, fully vectorized):
+    Shape at scale (PPJoin-style, fully vectorized):
     - the exploded (gram_hash, doc_id, n_grams) index is the only wide
       payload; the df window is one groupby-count; rare grams rejoin the
       index with a hash join (distributed — the rare-gram set is NOT
@@ -468,22 +488,16 @@ def ngram_jaccard_pairs_ds(
       index on gram (bounded: each gram contributes <= df_cap^2 rows) —
       a per-gram ``map_groups`` here paid one Python UDF call per gram,
       measured as the dominant stage cost at sf0.1 (27k tiny groups);
-    - the (doc_a, doc_b) groupby that dedupes pairs ALSO counts the shared
-      rare grams exactly (c_rare) and carries each side's gram total, which
-      yields a sound Jaccard upper bound
-          J <= (c_rare + min(h_a, h_b)) / (n_a + n_b - (c_rare + min(..)))
-      (h = per-doc count of above-cap grams: shared grams are rare or hot,
-      shared-rare is exact, shared-hot <= min(h_a, h_b)). Pairs that cannot
-      reach the threshold are dropped BEFORE the text verify — at sf0.1
-      that is >99.9% of candidates, and the verify's two text-payload hash
-      joins shrink from the full candidate set to the near-survivors.
-      The final exact verify over full gram sets is unchanged, so the
-      prefilter affects cost only, never results (1e-6 guard band covers
-      the 6dp rounding of the reported jaccard).
-    """
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
+    - one (doc_a, doc_b) groupby dedupes pairs AND counts shared rare
+      grams exactly.
 
+    ``row_keep(n_a, n_b)`` is an optional vectorized mask applied per pair
+    ROW before the pair groupby (the classic length filter). It must be
+    PAIR-SOUND: only drop a row when the (n_a, n_b) totals alone prove the
+    pair cannot satisfy the caller's final predicate — a mask that drops
+    some-but-not-all rows of a surviving pair would corrupt its exact
+    c_rare.
+    """
     def explode(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
         gs: list[np.ndarray] = []
@@ -511,11 +525,8 @@ def ngram_jaccard_pairs_ds(
     rare = (dfs.filter(expr="_n >= 2").filter(expr=f"_n <= {df_cap}")
             .drop_columns(["_n"]))
     n_rare = rare.count()
-    empty_pairs = pa.table({"doc_a": pa.array([], pa.int64()),
-                            "doc_b": pa.array([], pa.int64()),
-                            "jaccard": pa.array([], pa.float64())})
     if n_rare == 0:
-        return rd.from_arrow(empty_pairs)
+        return None, 0
     # groupby lineage -> scrub schema-less empty blocks before the join
     rare = nonempty_blocks(rare, n_rare)
     # index side is read->map_batches lineage: safe to join unguarded
@@ -531,18 +542,16 @@ def ngram_jaccard_pairs_ds(
                        num_partitions=_join_partitions(), on=("gram",))
 
     def ordered(b: pa.Table) -> pa.Table:
-        # orientation + the classic LENGTH FILTER (sound: J >= tau forces
-        # min(n_a,n_b)/max(n_a,n_b) >= tau since inter <= min and
-        # union >= max) — applied per ROW, so a pair that cannot pass is
-        # dropped before the pair groupby ever shuffles it, and a pair
-        # that can pass keeps ALL its rows (c_rare stays exact). Cuts the
-        # grouped volume ~2.7x at sf0.1 (1.27M -> 469k rows measured).
+        # orientation + the caller's per-row length filter (drops rows of
+        # pairs that provably cannot pass before the pair groupby ever
+        # shuffles them; the n-gram Jaccard caller's ratio mask cuts the
+        # grouped volume ~2.7x at sf0.1, 1.27M -> 469k rows measured)
         keep = pc.less(b.column("doc_id"), b.column("doc_b"))
         b = b.filter(keep)
-        na = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
-        nbn = b.column("n_b").to_numpy(zero_copy_only=False).astype(np.float64)
-        ratio = np.minimum(na, nbn) / np.maximum(np.maximum(na, nbn), 1.0)
-        b = b.filter(pa.array(ratio >= threshold - 1e-6))
+        if row_keep is not None:
+            na = b.column("n").to_numpy(zero_copy_only=False)
+            nbn = b.column("n_b").to_numpy(zero_copy_only=False)
+            b = b.filter(pa.array(np.asarray(row_keep(na, nbn), dtype=bool)))
         return pa.table({"doc_a": b.column("doc_id"),
                          "doc_b": b.column("doc_b"),
                          "n_a": b.column("n"),
@@ -558,7 +567,7 @@ def ngram_jaccard_pairs_ds(
     ).materialize()
     n_cand = cand.count()
     if n_cand == 0:
-        return rd.from_arrow(empty_pairs)
+        return None, 0
     cand = nonempty_blocks(cand, n_cand)
 
     # per-doc hot-gram counts (h): zero unless some gram exceeds df_cap
@@ -583,24 +592,69 @@ def ngram_jaccard_pairs_ds(
             join_type="left_outer", num_partitions=_join_partitions(),
             on=("doc_b",)).materialize()
         cand = nonempty_blocks(cand, n_cand)
+    return cand, n_cand
+
+
+def _pair_stat_arrays(
+    b: pa.Table,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(c_rare, n_a, n_b, inter_ub) from a rare_blocked_pair_stats batch —
+    inter_ub = c_rare + min(h_a, h_b) is a sound upper bound on the pair's
+    FULL shared-gram count (shared grams are rare or hot; shared-rare is
+    exact, shared-hot <= each side's hot total; null h = 0)."""
+    c = b.column("c_rare").to_numpy(zero_copy_only=False).astype(np.float64)
+    na = b.column("n_a").to_numpy(zero_copy_only=False).astype(np.float64)
+    nbn = b.column("n_b").to_numpy(zero_copy_only=False).astype(np.float64)
+    if "h_a" in b.column_names:
+        ha = np.nan_to_num(
+            b.column("h_a").cast(pa.float64()).to_numpy(zero_copy_only=False))
+        hb = np.nan_to_num(
+            b.column("h_b").cast(pa.float64()).to_numpy(zero_copy_only=False))
+        inter_ub = c + np.minimum(ha, hb)
+    else:
+        inter_ub = c
+    return c, na, nbn, inter_ub
+
+
+def ngram_jaccard_pairs_ds(
+    sf_dir: str, *, k: int = 3, df_cap: int = NGRAM_DF_CAP,
+    threshold: float = 0.8,
+) -> Dataset:
+    """Exact word-k-gram Jaccard near-dup pairs via rare-gram blocking.
+
+    The deterministic sibling of MinHash LSH: a pair qualifies iff the
+    docs share >= 1 gram with document frequency in [2, df_cap]
+    (``rare_blocked_pair_stats``) AND their exact distinct-k-gram Jaccard
+    >= threshold. Between blocking and the text verify, two sound prunes
+    (cost only — never results; the 1e-6 guard bands cover the 6dp
+    rounding of the reported jaccard):
+    - per-row length filter: J >= tau forces min(n_a,n_b)/max >= tau
+      (inter <= min, union >= max);
+    - pair-stat upper bound J <= inter_ub / (n_a + n_b - inter_ub): at
+      sf0.1 it drops >99.9% of candidates (1.13M -> 256 enter the
+      verify's two text-payload hash joins).
+    """
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def row_keep(na: np.ndarray, nbn: np.ndarray) -> np.ndarray:
+        na = na.astype(np.float64)
+        nbn = nbn.astype(np.float64)
+        ratio = np.minimum(na, nbn) / np.maximum(np.maximum(na, nbn), 1.0)
+        return ratio >= threshold - 1e-6
+
+    empty_pairs = pa.table({"doc_a": pa.array([], pa.int64()),
+                            "doc_b": pa.array([], pa.int64()),
+                            "jaccard": pa.array([], pa.float64())})
+    cand, _ = rare_blocked_pair_stats(docs, k=k, df_cap=df_cap,
+                                      row_keep=row_keep)
+    if cand is None:
+        return rd.from_arrow(empty_pairs)
 
     def prefilter(b: pa.Table) -> pa.Table:
-        c = b.column("c_rare").to_numpy(zero_copy_only=False).astype(np.float64)
-        na = b.column("n_a").to_numpy(zero_copy_only=False).astype(np.float64)
-        nbn = b.column("n_b").to_numpy(zero_copy_only=False).astype(np.float64)
-        if "h_a" in b.column_names:
-            ha = np.nan_to_num(
-                b.column("h_a").cast(pa.float64()).to_numpy(
-                    zero_copy_only=False))
-            hb = np.nan_to_num(
-                b.column("h_b").cast(pa.float64()).to_numpy(
-                    zero_copy_only=False))
-            inter_ub = c + np.minimum(ha, hb)
-        else:
-            inter_ub = c
+        _, na, nbn, inter_ub = _pair_stat_arrays(b)
         j_ub = inter_ub / np.maximum(na + nbn - inter_ub, 1.0)
-        keep = j_ub >= (threshold - 1e-6)
-        b = b.filter(pa.array(keep))
+        b = b.filter(pa.array(j_ub >= (threshold - 1e-6)))
         return pa.table({"doc_a": b.column("doc_a"),
                          "doc_b": b.column("doc_b")})
 
@@ -629,6 +683,157 @@ def ngram_jaccard_dups(
                              "jaccard": pd.Series(dtype="float64")})
     return (out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
             .astype({"doc_a": "int64", "doc_b": "int64"}))
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dups (banded Levenshtein over blocked candidates)
+# ---------------------------------------------------------------------------
+
+EDIT_DIST_MAX = 16
+
+# Sound per-char-edit bound on the DISTINCT word-k-gram symmetric
+# difference (k=3): one character edit changes at most 2 adjacent tokens
+# (substitution inside a token: 1; whitespace insert/delete splitting or
+# merging: 2), so it removes at most the <=4 windows overlapping that
+# 2-token span and adds at most 4 — <=8 grams of symdiff per edit (set
+# semantics only shrink it further when a changed gram occurs elsewhere).
+# Hence lev(A, B) <= D implies |grams(A) delta grams(B)| <= 8*D, which the
+# candidate prefilter inverts into a lower bound it can reject on.
+_GRAMS_PER_EDIT = 8
+
+
+def levenshtein_banded(a: str, b: str, cutoff: int) -> int:
+    """Exact Levenshtein distance when <= cutoff, else cutoff + 1.
+
+    Ukkonen band: a path of cost <= cutoff only visits DP cells with
+    |i - j| <= cutoff, so each row computes <= 2*cutoff + 1 cells and a
+    row whose band minimum exceeds the cutoff abandons early. Unit costs
+    (insert/delete/substitute = 1) match DuckDB ``levenshtein`` — pinned
+    by a randomized parity test — operating on code points (the corpus is
+    ASCII; DuckDB counts characters the same way there).
+    """
+    la, lb = len(a), len(b)
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    if lb - la > cutoff:
+        return cutoff + 1
+    if a == b:
+        return 0
+    big = cutoff + 1
+    prev = [j if j <= cutoff else big for j in range(lb + 1)]
+    for i in range(1, la + 1):
+        lo, hi = max(1, i - cutoff), min(lb, i + cutoff)
+        cur = [big] * (lb + 1)
+        if lo == 1 and i <= cutoff:
+            cur[0] = i
+        ca = a[i - 1]
+        best = big
+        for j in range(lo, hi + 1):
+            v = prev[j - 1] + (0 if ca == b[j - 1] else 1)
+            up = prev[j] + 1
+            if up < v:
+                v = up
+            left = cur[j - 1] + 1
+            if left < v:
+                v = left
+            if v > cutoff:
+                v = big
+            cur[j] = v
+            if v < best:
+                best = v
+        if best > cutoff:
+            return big
+        prev = cur
+    return prev[lb] if prev[lb] <= cutoff else big
+
+
+def edit_distance_pairs_ds(
+    sf_dir: str, *, k: int = 3, df_cap: int = NGRAM_DF_CAP,
+    max_dist: int = EDIT_DIST_MAX,
+) -> Dataset:
+    """Character-edit-distance near-dup pairs over rare-gram-blocked
+    candidates: a pair qualifies iff the docs share >= 1 k-gram with
+    document frequency in [2, df_cap] (``rare_blocked_pair_stats`` —
+    same candidacy definition as ngram_jaccard, restated by the SQL
+    oracle) AND lev(text_a, text_b) <= max_dist.
+
+    Catches the byte-level near-dup class Jaccard blurs (small in-place
+    edits: dates, counters, typo fixes) with an exact, interpretable
+    distance. Two sound prunes keep the banded-DP verify off the
+    candidate bulk:
+    - per-row: | n_a - n_b | <= 8*max_dist (gram-count difference is a
+      lower bound on gram symdiff, which lev <= D caps at 8*D — see
+      _GRAMS_PER_EDIT);
+    - per-pair: n_a + n_b - 2*inter_ub (the least possible symdiff given
+      the exact shared-rare count) must also be <= 8*max_dist.
+    Survivors join back to text (``_pairs_with_texts``) and the banded
+    kernel computes the exact distance, abandoning rows early at the
+    cutoff."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    budget = _GRAMS_PER_EDIT * max_dist
+
+    def row_keep(na: np.ndarray, nbn: np.ndarray) -> np.ndarray:
+        return np.abs(na.astype(np.int64) - nbn.astype(np.int64)) <= budget
+
+    empty_pairs = pa.table({"doc_a": pa.array([], pa.int64()),
+                            "doc_b": pa.array([], pa.int64()),
+                            "edit_dist": pa.array([], pa.int64())})
+    cand, _ = rare_blocked_pair_stats(docs, k=k, df_cap=df_cap,
+                                      row_keep=row_keep)
+    if cand is None:
+        return rd.from_arrow(empty_pairs)
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        _, na, nbn, inter_ub = _pair_stat_arrays(b)
+        symdiff_lb = na + nbn - 2.0 * inter_ub
+        b = b.filter(pa.array(symdiff_lb <= budget))
+        return pa.table({"doc_a": b.column("doc_a"),
+                         "doc_b": b.column("doc_b")})
+
+    survivors = cand.map_batches(
+        prefilter, batch_format="pyarrow").materialize()
+    n_pairs = survivors.count()
+    if n_pairs == 0:
+        return rd.from_arrow(empty_pairs)
+    survivors = nonempty_blocks(survivors, n_pairs)
+    with_ab = _pairs_with_texts(survivors, docs, n_pairs=n_pairs)
+    if with_ab is None:
+        return rd.from_arrow(empty_pairs)
+
+    def lev_batch(b: pa.Table) -> pa.Table:
+        dists = [
+            0 if ta == tb
+            else levenshtein_banded(ta or "", tb or "", max_dist)
+            for ta, tb in zip(b.column("text_a").to_pylist(),
+                              b.column("text_b").to_pylist())
+        ]
+        return pa.table({
+            "doc_a": b.column("doc_a"),
+            "doc_b": b.column("doc_b"),
+            "edit_dist": pa.array(dists, pa.int64()),
+        })
+
+    return (with_ab.map_batches(lev_batch, batch_format="pyarrow")
+            .filter(expr=f"edit_dist <= {max_dist}")
+            .materialize())
+
+
+def edit_distance_dups(
+    sf_dir: str, *, k: int = 3, df_cap: int = NGRAM_DF_CAP,
+    max_dist: int = EDIT_DIST_MAX,
+) -> pd.DataFrame:
+    """``edit_distance_pairs_ds`` materialized to a sorted (doc_a, doc_b,
+    edit_dist) frame — the verified pair set is the only driver payload."""
+    out = edit_distance_pairs_ds(
+        sf_dir, k=k, df_cap=df_cap, max_dist=max_dist).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                             "doc_b": pd.Series(dtype="int64"),
+                             "edit_dist": pd.Series(dtype="int64")})
+    return (out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+            .astype({"doc_a": "int64", "doc_b": "int64",
+                     "edit_dist": "int64"}))
 
 
 # ---------------------------------------------------------------------------

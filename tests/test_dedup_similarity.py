@@ -765,3 +765,94 @@ class TestNgramJaccard:
         # the n_pairs=None path must self-count and survive identically
         out2 = verify_pairs_jaccard(cand, docs).to_pandas()
         assert out2.jaccard[0] == out.jaccard[0]
+
+
+class TestEditDistance:
+    @staticmethod
+    def _naive(a: str, b: str) -> int:
+        la, lb = len(a), len(b)
+        d = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev_diag, d[0] = d[0], i
+            for j in range(1, lb + 1):
+                cur = min(d[j] + 1, d[j - 1] + 1,
+                          prev_diag + (0 if a[i - 1] == b[j - 1] else 1))
+                prev_diag, d[j] = d[j], cur
+        return d[lb]
+
+    def test_banded_matches_naive_and_duckdb(self):
+        """Randomized parity: the banded kernel must equal the full DP
+        (and DuckDB's levenshtein, the oracle function) whenever the true
+        distance is within the cutoff, and report cutoff+1 otherwise."""
+        import random
+
+        import duckdb
+
+        from ai_pdf_extraction_ray.stages.dedup import levenshtein_banded
+
+        rng = random.Random(11)
+        alpha = "abc x"
+        cases = [("", ""), ("", "abc"), ("abc", ""), ("same", "same"),
+                 ("kitten", "sitting"), ("a" * 30, "a" * 30 + "bbbb")]
+        for _ in range(300):
+            la, lb = rng.randint(0, 24), rng.randint(0, 24)
+            cases.append(("".join(rng.choice(alpha) for _ in range(la)),
+                          "".join(rng.choice(alpha) for _ in range(lb))))
+        con = duckdb.connect()
+        for a, b in cases:
+            true = self._naive(a, b)
+            dd = con.execute(
+                "SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+            assert dd == true, (a, b)  # oracle fn agrees with full DP
+            for cutoff in (0, 1, 3, 8, 30):
+                got = levenshtein_banded(a, b, cutoff)
+                want = true if true <= cutoff else cutoff + 1
+                assert got == want, (a, b, cutoff)
+
+    def test_planted_edit_family(self, ray_session, tmp_path):
+        """Pairs within the cutoff are found with exact distances; a pair
+        sharing rare grams but beyond the cutoff is excluded."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ai_pdf_extraction_ray.stages.dedup import (
+            EDIT_DIST_MAX,
+            edit_distance_dups,
+        )
+
+        base = " ".join(f"w{i}" for i in range(40))
+        texts = [
+            base,                       # 0
+            base + " tail",             # 1: dist 5 from 0
+            base.replace("w7", "q7"),   # 2: dist 1 from 0, 6 from 1
+            base + " " + "z" * (EDIT_DIST_MAX + 10),  # 3: beyond cutoff vs 0
+        ]
+        tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                        "text": texts})
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+        out = edit_distance_dups(str(tmp_path))
+        got = {(a, b): d for a, b, d in
+               zip(out.doc_a, out.doc_b, out.edit_dist)}
+        assert got[(0, 1)] == 5
+        assert got[(0, 2)] == 1
+        assert got[(1, 2)] == 6
+        # doc 3 shares almost all grams with 0/1/2 (candidate) but its
+        # distance exceeds the cutoff everywhere
+        assert all(3 not in pair for pair in got)
+
+    def test_no_candidates_returns_typed_empty(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ai_pdf_extraction_ray.stages.dedup import edit_distance_dups
+
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": ["alpha beta gamma delta epsilon zeta",
+                     "one two three four five six seven"],
+        })
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+        out = edit_distance_dups(str(tmp_path))
+        assert len(out) == 0
+        assert list(out.columns) == ["doc_a", "doc_b", "edit_dist"]
+        assert out.edit_dist.dtype == "int64"
