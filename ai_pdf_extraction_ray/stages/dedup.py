@@ -491,10 +491,11 @@ def rare_blocked_pair_stats(
     - one (doc_a, doc_b) groupby dedupes pairs AND counts shared rare
       grams exactly.
 
-    ``row_keep(n_a, n_b)`` is an optional vectorized mask applied per pair
-    ROW before the pair groupby (the classic length filter). It must be
-    PAIR-SOUND: only drop a row when the (n_a, n_b) totals alone prove the
-    pair cannot satisfy the caller's final predicate — a mask that drops
+    ``row_keep(n_a, n_b, c_a, c_b)`` is an optional vectorized mask applied
+    per pair ROW before the pair groupby (the classic length filter;
+    n = distinct-gram totals, c = char lengths). It must be PAIR-SOUND:
+    only drop a row when those per-doc totals alone prove the pair cannot
+    satisfy the caller's final predicate — a mask that drops
     some-but-not-all rows of a surviving pair would corrupt its exact
     c_rare.
     """
@@ -503,19 +504,23 @@ def rare_blocked_pair_stats(
         gs: list[np.ndarray] = []
         ds_: list[np.ndarray] = []
         ns: list[np.ndarray] = []
+        cs: list[np.ndarray] = []
         for d, t in zip(ids, b.column("text").to_pylist()):
             g = shingles(t or "", k)  # UNIQUE hashes: df counts docs, not hits
             if len(g):
                 gs.append(g.view(np.int64))
                 ds_.append(np.full(len(g), d, dtype=np.int64))
                 ns.append(np.full(len(g), len(g), dtype=np.int64))
+                cs.append(np.full(len(g), len(t or ""), dtype=np.int64))
         if not gs:
             return pa.table({"gram": pa.array([], pa.int64()),
                              "doc_id": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64())})
+                             "n": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
         return pa.table({"gram": pa.array(np.concatenate(gs), pa.int64()),
                          "doc_id": pa.array(np.concatenate(ds_), pa.int64()),
-                         "n": pa.array(np.concatenate(ns), pa.int64())})
+                         "n": pa.array(np.concatenate(ns), pa.int64()),
+                         "c": pa.array(np.concatenate(cs), pa.int64())})
 
     # consumed twice (df count + index join) — pin the lineage once
     index = docs.map_batches(explode, batch_format="pyarrow").materialize()
@@ -537,21 +542,26 @@ def rare_blocked_pair_stats(
     # join lineage feeds the self-join below on BOTH sides: scrub once;
     # materialized because it is consumed twice
     blocked = nonempty_blocks(blocked, nb).materialize()
-    right = blocked.rename_columns({"doc_id": "doc_b", "n": "n_b"})
+    right = blocked.rename_columns(
+        {"doc_id": "doc_b", "n": "n_b", "c": "c_b"})
     raw = blocked.join(right, join_type="inner",
                        num_partitions=_join_partitions(), on=("gram",))
 
     def ordered(b: pa.Table) -> pa.Table:
         # orientation + the caller's per-row length filter (drops rows of
         # pairs that provably cannot pass before the pair groupby ever
-        # shuffles them; the n-gram Jaccard caller's ratio mask cuts the
-        # grouped volume ~2.7x at sf0.1, 1.27M -> 469k rows measured)
+        # shuffles them; the n-gram Jaccard caller's gram-ratio mask cuts
+        # the grouped volume ~2.7x at sf0.1 — 1.27M -> 469k rows — and the
+        # edit-distance caller's char-window mask ~11x, 1.27M -> 111k)
         keep = pc.less(b.column("doc_id"), b.column("doc_b"))
         b = b.filter(keep)
         if row_keep is not None:
             na = b.column("n").to_numpy(zero_copy_only=False)
             nbn = b.column("n_b").to_numpy(zero_copy_only=False)
-            b = b.filter(pa.array(np.asarray(row_keep(na, nbn), dtype=bool)))
+            ca = b.column("c").to_numpy(zero_copy_only=False)
+            cb = b.column("c_b").to_numpy(zero_copy_only=False)
+            b = b.filter(pa.array(
+                np.asarray(row_keep(na, nbn, ca, cb), dtype=bool)))
         return pa.table({"doc_a": b.column("doc_id"),
                          "doc_b": b.column("doc_b"),
                          "n_a": b.column("n"),
@@ -633,11 +643,23 @@ def ngram_jaccard_pairs_ds(
     - pair-stat upper bound J <= inter_ub / (n_a + n_b - inter_ub): at
       sf0.1 it drops >99.9% of candidates (1.13M -> 256 enter the
       verify's two text-payload hash joins).
+
+    Known next constant-factor lever, deliberately not taken: PPJoin
+    PREFIX filtering (index only each doc's n - ceil(tau*n) + 1 rarest
+    grams by global df order) would cut the pair-groupby volume a
+    measured ~10x at sf0.1 (1.27M -> 122k raw rows), but it forfeits the
+    exact c_rare count, so the upper-bound prefilter dies and ALL ~119k
+    prefix candidates reach the text verify — a near-wash at this corpus'
+    doc lengths, priced against a doc-partitioned ranking join. The
+    current shape is already linear in corpus size (sum df^2 <= df_cap x
+    index rows).
     """
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
 
-    def row_keep(na: np.ndarray, nbn: np.ndarray) -> np.ndarray:
+    def row_keep(na: np.ndarray, nbn: np.ndarray,
+                 ca: np.ndarray, cb: np.ndarray) -> np.ndarray:
+        del ca, cb  # char lengths carry no sound bound for gram Jaccard
         na = na.astype(np.float64)
         nbn = nbn.astype(np.float64)
         ratio = np.minimum(na, nbn) / np.maximum(np.maximum(na, nbn), 1.0)
@@ -773,8 +795,15 @@ def edit_distance_pairs_ds(
                            columns=["doc_id", "text"])
     budget = _GRAMS_PER_EDIT * max_dist
 
-    def row_keep(na: np.ndarray, nbn: np.ndarray) -> np.ndarray:
-        return np.abs(na.astype(np.int64) - nbn.astype(np.int64)) <= budget
+    def row_keep(na: np.ndarray, nbn: np.ndarray,
+                 ca: np.ndarray, cb: np.ndarray) -> np.ndarray:
+        # lev <= D directly caps the char-length difference at D (each
+        # edit changes the length by at most 1) — at sf0.1 this window
+        # alone cuts the raw pair rows ~11x (1.27M -> 111k measured); the
+        # looser gram budget stays as a second belt.
+        chars_ok = np.abs(ca.astype(np.int64) - cb.astype(np.int64)) <= max_dist
+        grams_ok = np.abs(na.astype(np.int64) - nbn.astype(np.int64)) <= budget
+        return chars_ok & grams_ok
 
     empty_pairs = pa.table({"doc_a": pa.array([], pa.int64()),
                             "doc_b": pa.array([], pa.int64()),
