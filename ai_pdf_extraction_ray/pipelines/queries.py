@@ -3576,6 +3576,111 @@ def q_url_host_filter(sf_dir: str) -> Dataset:
     return docs.map_batches(keep, batch_format="pyarrow")
 
 
+URL_NOISE_CLASSES = 9   # raw-capture noise classes, keyed by doc_id % 9
+RECAPTURE_MODULO = 7    # doc_id % 7 == 0 pages get a second, later capture
+
+
+def q_url_canonical_dedup(sf_dir: str) -> Dataset:
+    """CDX-style URL canonicalization + latest-capture dedup, rolled up
+    per host — the web-curation step between raw WARC captures and a
+    one-row-per-page corpus (the reference keys documents by UUID and has
+    no URL surface; this is the engine's web-scale extension lane).
+
+    Synthesis (SQL-restatable, the page_metadata pattern): every doc_id
+    derives ONE raw capture whose url carries noise class ``doc_id % 9``
+    — tracking params / fragment / uppercased scheme+host / explicit
+    ``:443`` / trailing slash / unsorted query params / tracker+param
+    mix / duplicate path slash / clean — and every ``doc_id % 7 == 0``
+    page a SECOND capture of the same logical page (uppercased authority
+    + ``#cached``) one day later. The engine recovers the canonical url
+    from the messy strings (``functions/urls.canonicalize_urls`` — Arrow
+    RE2 + polars list kernels, zero Python loops), keeps the LATEST
+    capture per canonical url, and rolls up per host. ``n_param_pages``
+    (canonical urls containing the sorted ``?a=1&b=2``) pins param-sort
+    correctness the length checksum cannot see.
+
+    Scale shape: synthesis + canonicalization are one streaming
+    map_batches pass; keep-latest is a native ``groupby(canon)
+    .aggregate(Max, Count)`` — no per-group Python, and the shuffle key
+    is the canonical URL, so the giant host (h0 owns ~1/3 of rows) does
+    NOT form a hot key; the 41-key host rollup rides Ray's partial
+    pre-aggregation. Output: one row per host.
+    """
+    from ..functions.urls import canonicalize_urls
+    from ..sources.corpus import N_HOSTS
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def captures(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = np.where(d % 3 == 0, 0, d % N_HOSTS)
+        hs, dstr = h.astype(np.str_), d.astype(np.str_)
+        A = np.char.add
+        base = A(A(A("https://h", hs), ".example.com/p/"), dstr)
+        up = A(A(A("HTTPS://H", hs), ".EXAMPLE.COM/p/"), dstr)
+        r = d % URL_NOISE_CLASSES
+        raw = np.select(
+            [r == 0, r == 1, r == 2, r == 3, r == 4, r == 5, r == 6, r == 7],
+            [A(base, "?utm_source=feed&utm_medium=rss"),
+             A(base, "#section-2"),
+             up,
+             A(A(A("https://h", hs), ".example.com:443/p/"), dstr),
+             A(base, "/"),
+             A(base, "?b=2&a=1"),
+             A(base, "?utm_campaign=x&a=1#top"),
+             A(A(A("https://h", hs), ".example.com//p/"), dstr)],
+            default=base)
+        m = d % RECAPTURE_MODULO == 0
+        params = np.select([r == 5, r == 6], ["?a=1&b=2", "?a=1"], default="")
+        recap = A(A(up, params), "#cached")
+        url_raw = np.concatenate([raw, recap[m]])
+        ts = np.concatenate([d, d[m] + 86400])
+        return pa.table({
+            "canon": canonicalize_urls(pa.array(url_raw)),
+            "ts_s": pa.array(ts, pa.int64()),
+        })
+
+    kept = (docs.map_batches(captures, batch_format="pyarrow")
+            .groupby("canon")
+            .aggregate(Max("ts_s", alias_name="kept_ts_s"),
+                       Count(alias_name="caps")))
+
+    def host_stats(b: pa.Table) -> pa.Table:
+        canon = b.column("canon")
+        host = pc.replace_substring_regex(
+            canon, pattern=r"^https://([^/:?#]+).*$", replacement=r"\1")
+        return pa.table({
+            "host": host,
+            "caps": b.column("caps"),
+            "kept_ts_s": b.column("kept_ts_s"),
+            "canon_len": pc.cast(pc.utf8_length(canon), pa.int64()),
+            "is_param": pc.cast(
+                pc.match_substring(canon, "?a=1&b=2"), pa.int64()),
+        })
+
+    agg = (kept.map_batches(host_stats, batch_format="pyarrow")
+           .groupby("host")
+           .aggregate(Sum("caps", alias_name="n_captures"),
+                      Count(alias_name="n_pages"),
+                      Sum("kept_ts_s", alias_name="sum_kept_ts_s"),
+                      Sum("canon_len", alias_name="sum_canon_len"),
+                      Sum("is_param", alias_name="n_param_pages")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "host": b.column("host"),
+            "n_captures": b.column("n_captures"),
+            "n_pages": b.column("n_pages"),
+            "n_removed": pc.subtract(b.column("n_captures"),
+                                     b.column("n_pages")),
+            "sum_kept_ts_s": b.column("sum_kept_ts_s"),
+            "sum_canon_len": b.column("sum_canon_len"),
+            "n_param_pages": b.column("n_param_pages"),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("host")
+
+
 def q_compression_ratio(sf_dir: str) -> Dataset:
     """zlib compression-ratio quality signal (the MassiveText/RefinedWeb
     heuristic: template spam and repetitive boilerplate compress far below
@@ -5835,6 +5940,40 @@ QUERIES: dict[str, dict] = {
             WHERE host NOT IN ('h0.example.com', 'h7.example.com', 'h13.example.com')
         """,
     },
+    "url_canonical_dedup": {
+        "fn": q_url_canonical_dedup,
+        # the oracle re-derives every aggregate from the doc_id arithmetic
+        # the synthesis embeds (page_metadata pattern): captures per doc =
+        # 1 + [doc_id % 7 == 0]; the canonical url is the clean base url
+        # plus the sorted param tail for noise classes 5/6; the kept
+        # (latest) capture's timestamp is doc_id + 86400 * [recaptured].
+        "sql": rf"""
+            WITH d AS (
+              SELECT doc_id,
+                     {_HOST_ID_SQL} AS hid,
+                     doc_id % 9 AS r,
+                     CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS re
+              FROM documents
+            ), c AS (
+              SELECT 'h' || CAST(hid AS VARCHAR) || '.example.com' AS host,
+                     1 + re AS caps,
+                     doc_id + 86400 * re AS kept_ts_s,
+                     length({_URL_SQL})
+                       + CASE WHEN r = 5 THEN 8
+                              WHEN r = 6 THEN 4 ELSE 0 END AS canon_len,
+                     CASE WHEN r = 5 THEN 1 ELSE 0 END AS is_param
+              FROM d
+            )
+            SELECT host,
+                   CAST(SUM(caps) AS BIGINT) AS n_captures,
+                   COUNT(*) AS n_pages,
+                   CAST(SUM(caps) - COUNT(*) AS BIGINT) AS n_removed,
+                   CAST(SUM(kept_ts_s) AS BIGINT) AS sum_kept_ts_s,
+                   CAST(SUM(canon_len) AS BIGINT) AS sum_canon_len,
+                   CAST(SUM(is_param) AS BIGINT) AS n_param_pages
+            FROM c GROUP BY host ORDER BY host
+        """,
+    },
     "compression_ratio": {
         "fn": q_compression_ratio,
         "sql": GOLDEN_SQL["compression_ratio"],
@@ -6047,6 +6186,7 @@ _ROUND3_WINDOW_FIRST = [
 # orders_cube, monthly_revenue_delta, lineitem_corr) are all r04-green
 # (CORRECTNESS_r04.json) and stay covered by the check_oracles full sweeps.
 _ROUND5_WINDOW_HEAD = [
+    "url_canonical_dedup",
     "extract_spans", "ngram_jaccard_dups", "edit_dist_dups",
     "perplexity_buckets", "oov_rate", "bottomk_sample", "self_dup_spans",
     "host_reputation", "page_metadata", "pdf_page_stats",

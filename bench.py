@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "ngram_jaccard_dups",
     "page_metadata",
     "host_reputation",
+    "url_canonical_dedup",
     "perplexity_buckets",
     "oov_rate",
     "bottomk_sample",
