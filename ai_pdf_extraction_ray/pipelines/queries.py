@@ -3681,6 +3681,237 @@ def q_url_canonical_dedup(sf_dir: str) -> Dataset:
     return agg.map_batches(finish, batch_format="pyarrow").sort("host")
 
 
+def _boilerplate_frag_link_count() -> int:
+    """Fragment-only (``href="#..."``) link count of the html boilerplate —
+    same one-probe-page derivation (and the same cross-variant invariance
+    test) as ``_boilerplate_link_count``. These resolve to the page itself."""
+    from ..sources.corpus import build_html
+
+    return build_html(1, "probe text " * 30, "en", 320).decode().count('href="#')
+
+
+def _outlink_targets_batch(b: pa.Table) -> pa.Table:
+    """q_outlink_graph's harvest kernel, module-level so tests exercise the
+    SAME code the query runs (the _page_metadata_batch convention):
+    (url, html) -> one canonical TARGET url row per href occurrence.
+    Fragment-only hrefs resolve to the page itself, path-absolute against
+    scheme://authority, absolute pass through; pdf payloads emit nothing."""
+    import polars as pl
+
+    from ..functions.urls import canonicalize_urls
+
+    html = b.column("html").combine_chunks()
+    is_pdf = pc.fill_null(
+        pc.equal(pc.binary_slice(html, 0, 5),
+                 pa.scalar(b"%PDF-", pa.binary())), False)
+    s = pc.cast(pc.if_else(is_pdf, pa.scalar(None, pa.binary()), html),
+                pa.string())
+    pairs = (
+        pl.from_arrow(pa.table({"url": b.column("url"), "s": s}))
+        .with_columns(
+            pl.col("s").str.extract_all(r'href="[^"]*"').alias("h"))
+        .drop("s").explode("h").drop_nulls("h")
+        .with_columns(pl.col("h").str.slice(6).str.strip_chars_end('"'))
+        .to_arrow()
+    )
+    url = pairs.column("url").combine_chunks().cast(pa.string())
+    href = pairs.column("h").combine_chunks().cast(pa.string())
+    base = pc.replace_substring_regex(
+        url, pattern=r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*).*$",
+        replacement=r"\1")
+    # RFC 3986: both "" and "#frag" resolve to the current document
+    is_frag = pc.or_(pc.starts_with(href, "#"), pc.equal(href, ""))
+    is_abs = pc.match_substring_regex(
+        href, r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+    raw = pc.if_else(
+        is_frag, pc.binary_join_element_wise(url, href, ""),
+        pc.if_else(is_abs, href,
+                   pc.binary_join_element_wise(base, href, "")))
+    return pa.table({"target": canonicalize_urls(raw)})
+
+
+def q_outlink_graph(sf_dir: str) -> Dataset:
+    """Link-graph harvest (the WAT outlink lane feeding a host-level web
+    graph): every ``href`` is pulled from the PAYLOAD BYTES, resolved
+    against its page URL (fragment-only -> the page itself; path-absolute
+    -> scheme://host + path; absolute passes through), canonicalized with
+    ``functions/urls.canonicalize_urls``, then rolled up twice — in-degree
+    per target URL, then per-host graph stats. The reference has no link
+    surface (UUID-keyed uploads); this is the engine's web-scale extension
+    lane, the step between raw captures and a crawl frontier / link-based
+    quality prior.
+
+    Shapes: href extraction + explode run in polars (Rust) inside one
+    ``map_batches`` pass — rows fan out ~38x but carry only (url, href)
+    strings; resolution + canonicalization are Arrow RE2 kernels over the
+    exploded batch. The in-degree groupby keys on the TARGET url, so a
+    giant source host does not form a hot key (its links spread over
+    n_pages + 36 distinct targets); the host rollup rides Ray's partial
+    pre-aggregation down to ~N_HOSTS rows.
+
+    Oracle: every html page carries the same boilerplate link multiset
+    (``_boilerplate_link_count`` == 38, invariance-tested): 36 distinct
+    path-absolute targets shared host-wide (in-degree = n_pages each) and
+    2 fragment-only links that canonicalize to the page itself (in-degree
+    2, one target per page). PDF payloads carry none.
+    """
+    indeg = (pages_dataset(sf_dir, include_doc_id=False)
+             .map_batches(_outlink_targets_batch, batch_format="pyarrow")
+             .groupby("target")
+             .aggregate(Count(alias_name="indeg")))
+
+    def host_stats(b: pa.Table) -> pa.Table:
+        target = b.column("target").combine_chunks().cast(pa.string())
+        host = pc.replace_substring_regex(
+            target, pattern=r"^https://([^/:?#]+).*$", replacement=r"\1")
+        is_page = pc.cast(pc.match_substring_regex(
+            target, r"^https://[^/]+/p/[0-9]+$"), pa.int64())
+        return pa.table({
+            "host": host,
+            "indeg": b.column("indeg"),
+            "is_page": is_page,
+        })
+
+    agg = (indeg.map_batches(host_stats, batch_format="pyarrow")
+           .groupby("host")
+           .aggregate(Count(alias_name="n_targets"),
+                      Sum("indeg", alias_name="n_inlinks"),
+                      Max("indeg", alias_name="max_indegree"),
+                      Sum("is_page", alias_name="n_self_targets")))
+    return agg.sort("host")
+
+
+PAGERANK_ITERS = 4       # fixed-k power iteration (exact by construction)
+PAGERANK_DAMPING = 0.85
+PAGERANK_OUT_DEG = 3     # every node emits exactly 3 edges (no dangling)
+PAGERANK_BUCKETS = 32
+
+
+def q_pagerank(sf_dir: str) -> Dataset:
+    """Damped PageRank power iteration — the catalog's iterative NUMERIC
+    fixpoint (near_dup_clusters' min-label propagation is its iterative
+    discrete sibling). Link-based priors (PageRank/harmonic centrality)
+    are standard web-curation quality signals at Common-Crawl scale; the
+    reference has no graph surface, so the graph is synthesized from
+    doc_id arithmetic (the page_metadata pattern): node i links to
+    ``(2i+1) % N``, ``(3i+7) % N``, ``(i*i+i) % N`` — constant out-degree
+    3 (no dangling mass), skewed in-degree (the quadratic map piles rank
+    onto quadratic-residue classes).
+
+    Scale shape: each of the ``PAGERANK_ITERS`` rounds is one streaming
+    ``map_batches`` that emits each node's 3 weighted contributions
+    (rank/3) PLUS a zero-weight presence row (so sink-only nodes keep a
+    rank row), then a native ``groupby(dst).Sum`` — the textbook
+    join-free scatter/gather when edges derive from the node key; with a
+    materialized edge table this becomes edges⋈ranks, the
+    propagate_min_labels shape. The rank table never reaches the driver;
+    per-round ``materialize()`` keeps lineage depth bounded at one round
+    (re-execution of a lazy 4-deep shuffle chain is the alternative).
+    Output is a ``PAGERANK_BUCKETS``-row summary (count / rank mass /
+    max) — per-node float output at 10^12 rows is not a result, it's a
+    dataset. int64 overflow of i*i bounds doc_id < 3·10^9; beyond that
+    the quadratic map needs a mulmod kernel (documented, not needed at
+    any test scale).
+
+    Floats: both sides snap through the shared scaled-int rounding at
+    9 dp; the per-node ulp drift from summation order is ~1e-17, nine
+    orders below the snap.
+    """
+    docs = _docs(sf_dir, ["doc_id"])
+    n = docs.count()  # parquet-metadata count, no scan
+    teleport = (1.0 - PAGERANK_DAMPING) / n
+
+    def init(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        return pa.table({
+            "doc_id": ids,
+            "rank": pa.array(np.full(len(ids), 1.0 / n), pa.float64()),
+        })
+
+    def emit(b: pa.Table) -> pa.Table:
+        i = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        r = b.column("rank").to_numpy(zero_copy_only=False)
+        w = r / float(PAGERANK_OUT_DEG)
+        dst = np.concatenate(
+            [(2 * i + 1) % n, (3 * i + 7) % n, (i * i + i) % n, i])
+        wt = np.concatenate([w, w, w, np.zeros(len(i))])
+        return pa.table({"dst": pa.array(dst, pa.int64()),
+                         "w": pa.array(wt, pa.float64())})
+
+    def damp(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("dst"),
+            "rank": pc.add(pa.scalar(teleport),
+                           pc.multiply(b.column("w_in"),
+                                       pa.scalar(PAGERANK_DAMPING))),
+        })
+
+    ranks = docs.map_batches(init, batch_format="pyarrow")
+    for _ in range(PAGERANK_ITERS):
+        ranks = (ranks.map_batches(emit, batch_format="pyarrow")
+                 .groupby("dst")
+                 .aggregate(Sum("w", alias_name="w_in"))
+                 .map_batches(damp, batch_format="pyarrow")
+                 .materialize())
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        i = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"bucket": pa.array(i % PAGERANK_BUCKETS, pa.int64()),
+                         "rank": b.column("rank")})
+
+    agg = (ranks.map_batches(bucketize, batch_format="pyarrow")
+           .groupby("bucket")
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum("rank", alias_name="sum_rank"),
+                      Max("rank", alias_name="max_rank")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket": b.column("bucket"),
+            "n_docs": b.column("n_docs"),
+            "sum_rank": _pc_round(b.column("sum_rank"), 9),
+            "max_rank": _pc_round(b.column("max_rank"), 9),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("bucket")
+
+
+def _pagerank_sql() -> str:
+    """Unrolled-CTE restatement of the fixed-k power iteration (DuckDB has
+    no mutual recursion over floats worth fighting for at k=4)."""
+    N = "(SELECT c FROM n)"
+    blocks = [
+        f"n AS (SELECT count(*) AS c FROM documents)",
+        f"""e AS (
+            SELECT doc_id AS src,
+                   unnest([(2*doc_id+1) % {N},
+                           (3*doc_id+7) % {N},
+                           (doc_id*doc_id+doc_id) % {N}]) AS dst
+            FROM documents)""",
+        f"r0 AS (SELECT doc_id, 1.0/{N} AS r FROM documents)",
+    ]
+    prev = "r0"
+    for k in range(1, PAGERANK_ITERS + 1):
+        blocks.append(f"""r{k} AS (
+            SELECT d.doc_id,
+                   {1.0 - PAGERANK_DAMPING}/{N}
+                     + {PAGERANK_DAMPING}*coalesce(s.w, 0.0) AS r
+            FROM documents d LEFT JOIN (
+                SELECT e.dst, sum(p.r/{float(PAGERANK_OUT_DEG)}) AS w
+                FROM e JOIN {prev} p ON e.src = p.doc_id
+                GROUP BY e.dst) s
+            ON d.doc_id = s.dst)""")
+        prev = f"r{k}"
+    return f"""
+        WITH {",".join(blocks)}
+        SELECT doc_id % {PAGERANK_BUCKETS} AS bucket,
+               count(*) AS n_docs,
+               {_sql_round("sum(r)", 9)} AS sum_rank,
+               {_sql_round("max(r)", 9)} AS max_rank
+        FROM {prev} GROUP BY 1 ORDER BY bucket
+    """
+
+
 def q_compression_ratio(sf_dir: str) -> Dataset:
     """zlib compression-ratio quality signal (the MassiveText/RefinedWeb
     heuristic: template spam and repetitive boilerplate compress far below
@@ -5974,6 +6205,34 @@ QUERIES: dict[str, dict] = {
             FROM c GROUP BY host ORDER BY host
         """,
     },
+    "outlink_graph": {
+        "fn": q_outlink_graph,
+        # per html page: (total - frag) distinct path-absolute targets shared
+        # host-wide at in-degree n_pages each, plus ONE self target per page
+        # at in-degree frag (= 2). All three constants derive from one built
+        # probe page (cross-variant invariance pinned in test_extractors).
+        "sql": f"""
+            WITH g AS (
+                SELECT {_HOST_ID_SQL} AS hid, count(*) AS n_pages
+                FROM documents WHERE doc_id % 10 != 7
+                GROUP BY 1
+            )
+            SELECT 'h' || CAST(hid AS VARCHAR) || '.example.com' AS host,
+                   CAST({_boilerplate_link_count() - _boilerplate_frag_link_count()}
+                        + n_pages AS BIGINT) AS n_targets,
+                   CAST({_boilerplate_link_count()} * n_pages AS BIGINT)
+                       AS n_inlinks,
+                   CAST(greatest(n_pages,
+                                 {_boilerplate_frag_link_count()}) AS BIGINT)
+                       AS max_indegree,
+                   CAST(n_pages AS BIGINT) AS n_self_targets
+            FROM g ORDER BY host
+        """,
+    },
+    "pagerank": {
+        "fn": q_pagerank,
+        "sql": _pagerank_sql(),
+    },
     "compression_ratio": {
         "fn": q_compression_ratio,
         "sql": GOLDEN_SQL["compression_ratio"],
@@ -6186,7 +6445,7 @@ _ROUND3_WINDOW_FIRST = [
 # orders_cube, monthly_revenue_delta, lineitem_corr) are all r04-green
 # (CORRECTNESS_r04.json) and stay covered by the check_oracles full sweeps.
 _ROUND5_WINDOW_HEAD = [
-    "url_canonical_dedup",
+    "outlink_graph", "pagerank", "url_canonical_dedup",
     "extract_spans", "ngram_jaccard_dups", "edit_dist_dups",
     "perplexity_buckets", "oov_rate", "bottomk_sample", "self_dup_spans",
     "host_reputation", "page_metadata", "pdf_page_stats",

@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "page_metadata",
     "host_reputation",
     "url_canonical_dedup",
+    "outlink_graph",
+    "pagerank",
     "perplexity_buckets",
     "oov_rate",
     "bottomk_sample",
