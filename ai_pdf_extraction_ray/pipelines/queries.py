@@ -3816,6 +3816,13 @@ def q_pagerank(sf_dir: str) -> Dataset:
     Floats: both sides snap through the shared scaled-int rounding at
     9 dp; the per-node ulp drift from summation order is ~1e-17, nine
     orders below the snap.
+
+    Assumes doc_id is contiguous 0..N-1 (true by corpus construction at
+    every scale): the arithmetic targets ``f(i) % N`` must land inside
+    the node set, or the engine would carry phantom rank rows the
+    oracle's FROM-documents anchor drops. With an explicit edge TABLE
+    instead of derived edges this assumption disappears and each round
+    becomes edges⋈ranks (the propagate_min_labels shape).
     """
     docs = _docs(sf_dir, ["doc_id"])
     n = docs.count()  # parquet-metadata count, no scan
