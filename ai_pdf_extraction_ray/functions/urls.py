@@ -49,8 +49,13 @@ _TRACKER_RE = r"^(?:utm_[A-Za-z0-9_]+|fbclid|gclid)="
 def _clean_query(query: pa.Array) -> pa.Array:
     """Drop tracking params and sort the rest — polars list kernels.
 
-    null in (no ``?`` present) stays null; a query whose params were all
-    trackers becomes ``""`` (caller drops the ``?``).
+    For MATCHED rows Arrow's ``extract_regex`` yields ``""`` (not null)
+    when the optional query group did not participate — so the no-``?``
+    path arrives here as the empty string; null occurs only for rows the
+    split regex rejected outright, whose canon the caller discards via
+    the ``matched`` passthrough. Either way the caller's ``has_query``
+    check drops the ``?`` for an empty/absent query, including a query
+    whose params were all trackers.
     """
     import polars as pl
 

@@ -408,17 +408,23 @@ def boilerplate_link_count_variants() -> set[int]:
     return counts
 
 
+def _html_lane_strings(html: pa.Array) -> pa.Array:
+    """Payload bytes -> utf8 strings with PDF rows masked to null — the
+    ONE statement of the magic-byte lane sniff shared by the metadata and
+    outlink kernels (review finding: two verbatim copies drift). PDF
+    bytes are not valid utf8, so masking must precede the cast."""
+    is_pdf = pc.fill_null(
+        pc.equal(pc.binary_slice(html, 0, 5),
+                 pa.scalar(b"%PDF-", pa.binary())), False)
+    return pc.cast(pc.if_else(is_pdf, pa.scalar(None, pa.binary()), html),
+                   pa.string())
+
+
 def _page_metadata_batch(b: pa.Table) -> pa.Table:
     """q_page_metadata's kernel, module-level so tests exercise the SAME
     code the query runs (review finding: a frozen copy in the test let
     kernel regressions pass)."""
-    html = b.column("html").combine_chunks()
-    is_pdf = pc.fill_null(
-        pc.equal(pc.binary_slice(html, 0, 5),
-                 pa.scalar(b"%PDF-", pa.binary())), False)
-    # html lane only: pdf bytes are not valid utf8 — mask before cast
-    s = pc.cast(pc.if_else(is_pdf, pa.scalar(None, pa.binary()), html),
-                pa.string())
+    s = _html_lane_strings(b.column("html").combine_chunks())
     title = pc.struct_field(
         pc.extract_regex(s, r"<title>(?P<t>[^<]*)</title>"), "t")
     lang_attr = pc.struct_field(
@@ -465,7 +471,7 @@ def q_host_reputation(sf_dir: str) -> Dataset:
     hosts-sized groupby (41 rows). Ratios round through the shared
     scaled-int helpers on both sides.
     """
-    from ..sources.corpus import N_HOSTS
+    from ..sources.corpus import host_ids_for
     from ..stages.textstats import build_benchmark_ngrams
     from .curate import STAGE_KEEP, curation_stages_vec
 
@@ -474,7 +480,7 @@ def q_host_reputation(sf_dir: str) -> Dataset:
 
     def partial(b: pa.Table) -> pa.Table:
         d = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        host_id = np.where(d % 3 == 0, 0, d % N_HOSTS)
+        host_id = host_ids_for(d)
         stage = curation_stages_vec(
             b.column("lang").combine_chunks(),
             b.column("text").combine_chunks(),
@@ -3542,10 +3548,10 @@ def _url_col(doc_ids) -> pa.Array:  # noqa: ANN001 — pa.Array|ChunkedArray
     """Vectorized url synthesis from doc_id (corpus.url_for, batch form).
     In production the url is a real column; the synthetic corpus derives it
     so extraction oracles can restate it in SQL (_URL_SQL)."""
-    from ..sources.corpus import N_HOSTS
+    from ..sources.corpus import host_ids_for
 
     d = doc_ids.to_numpy(zero_copy_only=False).astype(np.int64)
-    host = np.where(d % 3 == 0, 0, d % N_HOSTS)
+    host = host_ids_for(d)
     return pa.array(np.char.add(np.char.add(np.char.add(
         "https://h", host.astype(np.str_)), ".example.com/p/"),
         d.astype(np.str_)))
@@ -3607,13 +3613,13 @@ def q_url_canonical_dedup(sf_dir: str) -> Dataset:
     pre-aggregation. Output: one row per host.
     """
     from ..functions.urls import canonicalize_urls
-    from ..sources.corpus import N_HOSTS
+    from ..sources.corpus import host_ids_for
 
     docs = _docs(sf_dir, ["doc_id"])
 
     def captures(b: pa.Table) -> pa.Table:
         d = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        h = np.where(d % 3 == 0, 0, d % N_HOSTS)
+        h = host_ids_for(d)
         hs, dstr = h.astype(np.str_), d.astype(np.str_)
         A = np.char.add
         base = A(A(A("https://h", hs), ".example.com/p/"), dstr)
@@ -3681,31 +3687,51 @@ def q_url_canonical_dedup(sf_dir: str) -> Dataset:
     return agg.map_batches(finish, batch_format="pyarrow").sort("host")
 
 
+_BOILERPLATE_FRAG_LINKS: int | None = None
+
+
 def _boilerplate_frag_link_count() -> int:
     """Fragment-only (``href="#..."``) link count of the html boilerplate —
-    same one-probe-page derivation (and the same cross-variant invariance
-    test) as ``_boilerplate_link_count``. These resolve to the page itself."""
+    same one-probe-page derivation and module-global cache as
+    ``_boilerplate_link_count`` (review findings: the first cut rebuilt
+    the probe page on every import-time call, and nothing pinned the
+    count across layout variants — ``boilerplate_frag_link_count_variants``
+    + its webgraph test now do). These hrefs resolve to the page itself."""
+    global _BOILERPLATE_FRAG_LINKS
+    if _BOILERPLATE_FRAG_LINKS is None:
+        from ..sources.corpus import build_html
+
+        _BOILERPLATE_FRAG_LINKS = (build_html(1, "probe text " * 30, "en", 320)
+                                   .decode().count('href="#'))
+    return _BOILERPLATE_FRAG_LINKS
+
+
+def boilerplate_frag_link_count_variants() -> set[int]:
+    """Fragment-link counts across every layout variant + the short-text
+    fallback — the invariance check backing ``_boilerplate_frag_link_count``
+    (exercised by tests/test_webgraph.py, deliberately NOT at import)."""
     from ..sources.corpus import build_html
 
-    return build_html(1, "probe text " * 30, "en", 320).decode().count('href="#')
+    counts = {build_html(d, "probe text " * 30, "en", 320).decode()
+              .count('href="#') for d in range(4)}
+    counts |= {build_html(3, "tiny", "en", 4).decode().count('href="#')}
+    return counts
 
 
 def _outlink_targets_batch(b: pa.Table) -> pa.Table:
     """q_outlink_graph's harvest kernel, module-level so tests exercise the
     SAME code the query runs (the _page_metadata_batch convention):
     (url, html) -> one canonical TARGET url row per href occurrence.
-    Fragment-only hrefs resolve to the page itself, path-absolute against
-    scheme://authority, absolute pass through; pdf payloads emit nothing."""
+    Fragment-only/empty hrefs resolve to the page itself, query-only
+    against the page path, path-absolute against scheme://authority,
+    protocol-relative take the page scheme, bare-relative resolve against
+    the page path directory, absolute pass through; pdf payloads emit
+    nothing."""
     import polars as pl
 
     from ..functions.urls import canonicalize_urls
 
-    html = b.column("html").combine_chunks()
-    is_pdf = pc.fill_null(
-        pc.equal(pc.binary_slice(html, 0, 5),
-                 pa.scalar(b"%PDF-", pa.binary())), False)
-    s = pc.cast(pc.if_else(is_pdf, pa.scalar(None, pa.binary()), html),
-                pa.string())
+    s = _html_lane_strings(b.column("html").combine_chunks())
     pairs = (
         pl.from_arrow(pa.table({"url": b.column("url"), "s": s}))
         .with_columns(
@@ -3719,14 +3745,41 @@ def _outlink_targets_batch(b: pa.Table) -> pa.Table:
     base = pc.replace_substring_regex(
         url, pattern=r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*).*$",
         replacement=r"\1")
-    # RFC 3986: both "" and "#frag" resolve to the current document
-    is_frag = pc.or_(pc.starts_with(href, "#"), pc.equal(href, ""))
-    is_abs = pc.match_substring_regex(
-        href, r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+    scheme = pc.replace_substring_regex(
+        url, pattern=r"^([A-Za-z][A-Za-z0-9+.\-]*):.*$", replacement=r"\1")
+    noquery = pc.replace_substring_regex(
+        url, pattern=r"[?#].*$", replacement="")
+    # page path directory for bare-relative hrefs: ".../p/42" -> ".../p/";
+    # a path-less page url resolves against "/"
+    pathdir = pc.replace_substring_regex(
+        pc.replace_substring_regex(
+            noquery, pattern=r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*",
+            replacement=""),
+        pattern=r"[^/]*$", replacement="")
+    pathdir = pc.if_else(pc.equal(pathdir, ""), pa.scalar("/"), pathdir)
+    J = pc.binary_join_element_wise
+    # RFC 3986 resolution, every href class (review finding: the first cut
+    # silently glued bare-relative and protocol-relative hrefs onto the
+    # authority). "." / ".." segments are NOT normalized — the canonical
+    # form collapses duplicate slashes only; dot-segment removal is the
+    # documented next step if a corpus ever emits them.
     raw = pc.if_else(
-        is_frag, pc.binary_join_element_wise(url, href, ""),
-        pc.if_else(is_abs, href,
-                   pc.binary_join_element_wise(base, href, "")))
+        # "" and "#frag" -> the current document
+        pc.or_(pc.starts_with(href, "#"), pc.equal(href, "")),
+        J(url, href, ""),
+        pc.if_else(
+            pc.match_substring_regex(href, r"^[A-Za-z][A-Za-z0-9+.\-]*://"),
+            href,                                   # absolute
+            pc.if_else(
+                pc.starts_with(href, "//"),         # protocol-relative
+                J(scheme, pa.scalar(":"), href, ""),
+                pc.if_else(
+                    pc.starts_with(href, "?"),      # query-only
+                    J(noquery, href, ""),
+                    pc.if_else(
+                        pc.starts_with(href, "/"),  # path-absolute
+                        J(base, href, ""),
+                        J(base, pathdir, href, ""))))))  # bare-relative
     return pa.table({"target": canonicalize_urls(raw)})
 
 
@@ -6189,8 +6242,9 @@ QUERIES: dict[str, dict] = {
             WITH d AS (
               SELECT doc_id,
                      {_HOST_ID_SQL} AS hid,
-                     doc_id % 9 AS r,
-                     CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS re
+                     doc_id % {URL_NOISE_CLASSES} AS r,
+                     CASE WHEN doc_id % {RECAPTURE_MODULO} = 0
+                          THEN 1 ELSE 0 END AS re
               FROM documents
             ), c AS (
               SELECT 'h' || CAST(hid AS VARCHAR) || '.example.com' AS host,

@@ -59,6 +59,16 @@ def host_id_for(doc_id: int) -> int:
     return 0 if doc_id % 3 == 0 else doc_id % N_HOSTS
 
 
+def host_ids_for(doc_ids):  # noqa: ANN001 — np.ndarray -> np.ndarray
+    """Vectorized twin of ``host_id_for`` — the ONLY other statement of
+    the host rule (review finding: three numpy copies of the rule had
+    accreted in queries.py; a rule change here must not drift them)."""
+    import numpy as np
+
+    d = np.asarray(doc_ids, dtype=np.int64)
+    return np.where(d % 3 == 0, 0, d % N_HOSTS)
+
+
 def url_for(doc_id: int) -> str:
     return f"https://h{host_id_for(doc_id)}.example.com/p/{doc_id}"
 

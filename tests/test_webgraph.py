@@ -32,13 +32,31 @@ class TestOutlinkKernel:
         page = "https://h3.example.com/p/42"
         html = (b'<html><a href="/news">n</a> <a href="#top">t</a> '
                 b'<a href="https://other.org/X/">abs</a> '
-                b'<a href="">self</a></html>')
+                b'<a href="">self</a> <a href="news">rel</a> '
+                b'<a href="//cdn.example.net/lib.js">proto</a> '
+                b'<a href="?page=2">query</a></html>')
         assert self._run(page, html) == [
             "https://h3.example.com/news",
             page,                      # fragment-only -> the page itself
             "https://other.org/X",     # absolute passes through, canonical
             page,                      # empty href -> the page itself (RFC)
+            "https://h3.example.com/p/news",     # bare-relative: page dir
+            "https://cdn.example.net/lib.js",    # protocol-relative
+            page + "?page=2",          # query-only: page path + query
         ]
+
+    def test_relative_on_pathless_page(self) -> None:
+        # a path-less page url resolves bare-relative hrefs against "/"
+        assert self._run("https://h1.example.com",
+                         b'<a href="about">a</a>') == [
+            "https://h1.example.com/about"]
+
+    def test_frag_link_count_invariant_across_variants(self) -> None:
+        from ai_pdf_extraction_ray.pipelines.queries import (
+            boilerplate_frag_link_count_variants)
+
+        assert (boilerplate_frag_link_count_variants()
+                == {_boilerplate_frag_link_count()})
 
     def test_pdf_payload_emits_nothing(self) -> None:
         assert self._run("https://h1.example.com/p/7",
