@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "url_canonical_dedup",
     "outlink_graph",
     "pagerank",
+    "triangle_count",
     "perplexity_buckets",
     "oov_rate",
     "bottomk_sample",

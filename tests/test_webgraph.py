@@ -93,6 +93,33 @@ class TestOutlinkGraphQuery:
             assert row["n_self_targets"] == n
 
 
+class TestTriangleCount:
+    def test_against_bruteforce(self, ray_session) -> None:
+        from ai_pdf_extraction_ray.pipelines.queries import (
+            TRIANGLE_BUCKETS, q_triangle_count)
+
+        out = q_triangle_count(SF_SMOKE).to_pandas()
+        n = len(pq.read_table(f"{SF_SMOKE}/documents.parquet",
+                              columns=["doc_id"]))
+        # independent brute force over the same arithmetic graph
+        adj: dict[int, set[int]] = {v: set() for v in range(n)}
+        for i in range(n):
+            for j in ((i + 1) % n, (i + 2) % n, (i * i + i) % n):
+                if i != j:
+                    adj[i].add(j)
+                    adj[j].add(i)
+        want: dict[int, int] = {}
+        for a in range(n):
+            for b_ in (x for x in adj[a] if x > a):
+                for c in (x for x in (adj[a] & adj[b_]) if x > b_):
+                    want[a % TRIANGLE_BUCKETS] = (
+                        want.get(a % TRIANGLE_BUCKETS, 0) + 1)
+        got = dict(zip(out["bucket"], out["n_triangles"]))
+        assert got == want
+        # the two successor maps plant a triangle at every vertex
+        assert sum(got.values()) >= n
+
+
 class TestPageRank:
     @staticmethod
     def _reference_ranks(n: int) -> np.ndarray:
