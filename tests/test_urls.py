@@ -43,6 +43,37 @@ def test_canonicalize_cases(raw: str, want: str) -> None:
     assert got == want
 
 
+class TestCanonicalizeProperties:
+    """Hypothesis: idempotence over url-ish strings — the defining property
+    of a canonicalizer (two captures agree iff ONE application agrees)."""
+
+    from hypothesis import given, settings, strategies as st
+
+    _seg = st.text(
+        alphabet="abcXYZ09._~%-", min_size=0, max_size=6)
+    _urlish = st.builds(
+        lambda scheme, host, port, segs, query, frag:
+            f"{scheme}://{host}{port}" + "".join("/" + s for s in segs)
+            + (f"?{query}" if query is not None else "")
+            + (f"#{frag}" if frag is not None else ""),
+        st.sampled_from(["http", "https", "HTTP", "HTTPS", "ftp"]),
+        st.sampled_from(["Ex.COM", "h3.example.com", "a.b", "x"]),
+        st.sampled_from(["", ":80", ":443", ":8080"]),
+        st.lists(_seg, max_size=4),
+        st.one_of(st.none(), st.sampled_from(
+            ["", "b=2&a=1", "utm_source=x", "a=1&&b=2", "fbclid=1&z=9",
+             "gclid", "=", "a==b"])),
+        st.one_of(st.none(), st.sampled_from(["", "frag", "a/b?c"])),
+    )
+
+    @given(st.one_of(_urlish, st.text(max_size=40)))
+    @settings(max_examples=300, deadline=None)
+    def test_idempotent(self, raw: str) -> None:
+        once = canonicalize_urls(pa.array([raw], pa.string())).to_pylist()[0]
+        twice = canonicalize_urls(pa.array([once], pa.string())).to_pylist()[0]
+        assert twice == once
+
+
 def test_canonicalize_null_and_chunked() -> None:
     chunked = pa.chunked_array([["https://A.b/x/"], [None]])
     got = canonicalize_urls(chunked).to_pylist()
