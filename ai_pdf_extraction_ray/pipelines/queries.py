@@ -3949,18 +3949,22 @@ def q_triangle_count(sf_dir: str) -> Dataset:
     successor maps guarantee ~N planted triangles (i, i+1, i+2); the
     quadratic map adds irregular ones.
 
-    Scale shape — the degree-orientation trick that makes distributed
-    triangle counting tractable: every edge is oriented lo<hi and
-    deduped ONCE (a (lo,hi) groupby); wedges are generated only at each
-    triangle's LOWEST vertex (self-join of the edge table on ``lo`` with
-    ``hi_a < hi_b``), so each triangle is counted exactly once and a
-    vertex contributes C(out_lo_deg, 2) wedges — bounded here by the
-    constant out-degree 3, and bounded in general by orienting
-    low-degree -> high-degree (the classic skew guard, noted in the
-    docstring because THAT is the 100-TB-relevant choice). The wedge set
-    then closes against the edge table with one (lo,hi) hash join. Both
-    joins run on scrubbed, counted inputs per the Ray 2.49 empty-block
-    rule. Output: triangles per ``center % TRIANGLE_BUCKETS`` bucket.
+    Scale shape — DEGREE orientation, the skew guard that makes
+    distributed triangle counting tractable (the first cut oriented by
+    vertex ID; review finding: the quadratic map's preimages pile onto
+    low-id vertices, measured max 22 out-neighbors -> 231 wedges at one
+    vertex at N=500, so the documented wedge bound was false). Each
+    undirected edge is deduped once (a (lo,hi) groupby), per-vertex
+    degrees come from one endpoint-explode groupby, and every edge is
+    oriented from its lower-(degree, id) endpoint — so wedges are
+    generated only at each triangle's unique minimum-(degree, id)
+    vertex, and a vertex contributes C(out_deg, 2) wedges where out_deg
+    counts only HIGHER-degree neighbors: the classic bound that keeps
+    total wedge volume O(E^1.5) on any graph, hubs included. The wedge
+    set closes against the undirected edge table with one (lo, hi) hash
+    join. Every join input is counted + scrubbed per the Ray 2.49
+    empty-block rule, with explicit empty-side guards. Output: triangles
+    per ``min-(degree,id)-vertex % TRIANGLE_BUCKETS`` bucket.
     """
     from ..stages.dedup import _join_partitions, nonempty_blocks
 
@@ -3978,28 +3982,69 @@ def q_triangle_count(sf_dir: str) -> Dataset:
             "hi": pa.array(np.maximum(src, dst), pa.int64()),
         })
 
-    # oriented + deduped edge table (consumed 3x: two join sides + count)
+    # distinct undirected edge table (consumed 3x: degree explode, the
+    # orientation joins' left side, the closing join's right side)
     e = (docs.map_batches(edges, batch_format="pyarrow")
          .groupby(["lo", "hi"]).aggregate(Count(alias_name="_m"))
          .drop_columns(["_m"]).materialize())
     ne = e.count()
+    if ne == 0:  # degenerate corpus: every generated edge a self-loop
+        return rd.from_arrow(pa.table({
+            "bucket": pa.array([], pa.int64()),
+            "n_triangles": pa.array([], pa.int64())}))
     e = nonempty_blocks(e, ne)
 
-    wedges = e.join(
-        e.rename_columns({"hi": "hi_b"}), join_type="inner",
-        num_partitions=_join_partitions(), on=("lo",))
+    def endpoints(b: pa.Table) -> pa.Table:
+        return pa.table({"v": pa.concat_arrays([
+            b.column("lo").combine_chunks(),
+            b.column("hi").combine_chunks()])})
+
+    deg = (e.map_batches(endpoints, batch_format="pyarrow")
+           .groupby("v").aggregate(Count(alias_name="deg")).materialize())
+    deg = nonempty_blocks(deg, deg.count())  # >= 1 row since ne > 0
+
+    # degrees onto both endpoints (two broadcast-scale hash joins — the
+    # degree table is one row per vertex, the edge side streams)
+    g = e.join(deg.rename_columns({"v": "lo", "deg": "deg_lo"}),
+               join_type="inner", num_partitions=_join_partitions(),
+               on=("lo",)).materialize()
+    g = nonempty_blocks(g, ne)  # inner join on a total map keeps every edge
+    g = g.join(deg.rename_columns({"v": "hi", "deg": "deg_hi"}),
+               join_type="inner", num_partitions=_join_partitions(),
+               on=("hi",)).materialize()
+    g = nonempty_blocks(g, ne)
 
     def orient(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.less(b.column("hi"), b.column("hi_b")))
+        lo = b.column("lo").to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = b.column("hi").to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = b.column("deg_lo").to_numpy(zero_copy_only=False).astype(np.int64)
+        dh = b.column("deg_hi").to_numpy(zero_copy_only=False).astype(np.int64)
+        # lexicographic (degree, id): the unique total order the oracle
+        # restates as DuckDB row comparison
+        lo_first = (dl < dh) | ((dl == dh) & (lo < hi))
         return pa.table({
-            "ctr": b.column("lo"),
-            "lo": b.column("hi"),     # the closing edge is (hi, hi_b),
-            "hi": b.column("hi_b"),   # already oriented since hi < hi_b
+            "src": pa.array(np.where(lo_first, lo, hi), pa.int64()),
+            "dst": pa.array(np.where(lo_first, hi, lo), pa.int64()),
         })
 
-    wedges = wedges.map_batches(orient, batch_format="pyarrow").materialize()
+    o = g.map_batches(orient, batch_format="pyarrow").materialize()
+    o = nonempty_blocks(o, ne)
+
+    wedges = o.join(
+        o.rename_columns({"dst": "dst_b"}), join_type="inner",
+        num_partitions=_join_partitions(), on=("src",))
+
+    def close_key(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b.column("dst"), b.column("dst_b")))
+        return pa.table({
+            "ctr": b.column("src"),
+            "lo": b.column("dst"),    # dst < dst_b, so (dst, dst_b) is
+            "hi": b.column("dst_b"),  # already the undirected (lo, hi) key
+        })
+
+    wedges = wedges.map_batches(close_key, batch_format="pyarrow").materialize()
     nw = wedges.count()
-    if nw == 0:  # degenerate corpus: no wedges -> no triangles
+    if nw == 0:  # no wedges -> no triangles
         return rd.from_arrow(pa.table({
             "bucket": pa.array([], pa.int64()),
             "n_triangles": pa.array([], pa.int64())}))
@@ -6395,10 +6440,24 @@ QUERIES: dict[str, dict] = {
             e AS (
                 SELECT DISTINCT least(i, j) AS lo, greatest(i, j) AS hi
                 FROM m WHERE i != j),
+            deg AS (
+                SELECT v, count(*) AS d
+                FROM (SELECT lo AS v FROM e UNION ALL SELECT hi FROM e)
+                GROUP BY v),
+            -- degree orientation: each edge points from its lower-
+            -- (degree, id) endpoint (DuckDB row comparison = the engine's
+            -- lexicographic numpy mask)
+            o AS (
+                SELECT CASE WHEN (dl.d, e.lo) < (dh.d, e.hi)
+                            THEN e.lo ELSE e.hi END AS src,
+                       CASE WHEN (dl.d, e.lo) < (dh.d, e.hi)
+                            THEN e.hi ELSE e.lo END AS dst
+                FROM e JOIN deg dl ON dl.v = e.lo
+                       JOIN deg dh ON dh.v = e.hi),
             t AS (
-                SELECT a.lo AS ctr
-                FROM e a JOIN e b ON a.lo = b.lo AND a.hi < b.hi
-                         JOIN e c ON c.lo = a.hi AND c.hi = b.hi)
+                SELECT a.src AS ctr
+                FROM o a JOIN o b ON a.src = b.src AND a.dst < b.dst
+                         JOIN e   ON e.lo = a.dst AND e.hi = b.dst)
             SELECT ctr % {TRIANGLE_BUCKETS} AS bucket,
                    count(*) AS n_triangles
             FROM t GROUP BY 1 ORDER BY bucket

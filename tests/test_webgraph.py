@@ -109,11 +109,15 @@ class TestTriangleCount:
                     adj[i].add(j)
                     adj[j].add(i)
         want: dict[int, int] = {}
+        deg = {v: len(adj[v]) for v in range(n)}
         for a in range(n):
             for b_ in (x for x in adj[a] if x > a):
                 for c in (x for x in (adj[a] & adj[b_]) if x > b_):
-                    want[a % TRIANGLE_BUCKETS] = (
-                        want.get(a % TRIANGLE_BUCKETS, 0) + 1)
+                    # attributed to the min-(degree, id) vertex, matching
+                    # the engine's degree orientation
+                    ctr = min((a, b_, c), key=lambda v: (deg[v], v))
+                    want[ctr % TRIANGLE_BUCKETS] = (
+                        want.get(ctr % TRIANGLE_BUCKETS, 0) + 1)
         got = dict(zip(out["bucket"], out["n_triangles"]))
         assert got == want
         # the two successor maps plant a triangle at every vertex
